@@ -1,0 +1,23 @@
+"""online_detection_tpu — TPU-native on-line object detection + segmentation.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+hsp-iit/online-detection (on-line Mask R-CNN with FALKON kernel classifiers):
+
+- ``models``   : ResNet-50-C4 Mask R-CNN feature extractor, on-line RPN,
+                 on-line detection and per-pixel segmentation heads (pure JAX).
+- ``ops``      : TPU kernels (Pallas + XLA fallbacks): Gaussian-kernel mmv,
+                 RoIAlign, fixed-size NMS.
+- ``solvers``  : FALKON (Nystrom kernel ridge regression via preconditioned
+                 conjugate gradient) and RLS refiners, vmappable over classes.
+- ``engine``   : feature-harvesting scan pipeline, inference loop, SGD trainers.
+- ``data``     : iCWT / YCB-Video / HO-3D dataset readers + VOC evaluation.
+- ``parallel`` : device-mesh / sharding helpers (data x class mesh axes).
+- ``modules``  : API-parity facades mirroring the reference's public modules
+                 (FeatureExtractor, OnlineRegionClassifier, FALKONWrapper,
+                 RegionRefiner, AccuracyEvaluator).
+
+Reference layout: see SURVEY.md at repo root. File:line citations in
+docstrings refer to /root/reference (hsp-iit/online-detection).
+"""
+
+__version__ = "0.1.0"
