@@ -93,7 +93,9 @@ def _mmv_kernel(x_ref, c_ref, v_ref, xs_ref, cs_ref, o_ref, acc_ref, *, inv2s2, 
         o_ref[:] = acc_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "tile_n", "tile_m"))
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "tile_n", "tile_m", "interpret")
+)
 def mmv_pallas(
     x: jax.Array,
     c: jax.Array,
@@ -101,6 +103,7 @@ def mmv_pallas(
     sigma: float,
     tile_n: int = 512,
     tile_m: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """Tiled Pallas K(x,c)@v. x:[N,d] c:[M,d] v:[M,t] -> [N,t].
 
@@ -144,9 +147,8 @@ def mmv_pallas(
         ],
         out_specs=pl.BlockSpec((tn, t_p), lambda i, k: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((n_p, t_p), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((tn, t_p), jnp.float32) if pltpu else None
-        ],
+        scratch_shapes=[pltpu.VMEM((tn, t_p), jnp.float32)],
+        interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * n_p * m_p * (d_p + t_p),
             bytes_accessed=4 * (n_p * d_p + m_p * d_p * n_k + n_p * t_p),

@@ -1,0 +1,105 @@
+"""RoIAlign vs a scalar NumPy implementation of the legacy Detectron
+algorithm (csrc ROIAlign semantics: no half-pixel offset, adaptive
+sampling_ratio=0, bilinear with the -1..size clamping rules), and vs
+torchvision's roi_align (aligned=False) when available."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from online_detection_tpu.ops.roi_align import roi_align
+
+
+def bilinear_np(feat, y, x):
+    h, w = feat.shape[:2]
+    if y < -1.0 or y > h or x < -1.0 or x > w:
+        return np.zeros(feat.shape[2], feat.dtype)
+    y = max(y, 0.0)
+    x = max(x, 0.0)
+    y_low = int(np.floor(y))
+    x_low = int(np.floor(x))
+    if y_low >= h - 1:
+        y_low = y_high = h - 1
+        y = float(y_low)
+    else:
+        y_high = y_low + 1
+    if x_low >= w - 1:
+        x_low = x_high = w - 1
+        x = float(x_low)
+    else:
+        x_high = x_low + 1
+    ly, lx = y - y_low, x - x_low
+    hy, hx = 1 - ly, 1 - lx
+    return (
+        hy * hx * feat[y_low, x_low]
+        + hy * lx * feat[y_low, x_high]
+        + ly * hx * feat[y_high, x_low]
+        + ly * lx * feat[y_high, x_high]
+    )
+
+
+def roi_align_np(feat, rois, pooled, scale, sampling_ratio=0):
+    out = np.zeros((len(rois), pooled, pooled, feat.shape[2]), np.float32)
+    for r, roi in enumerate(rois):
+        sw, sh = roi[0] * scale, roi[1] * scale
+        ew, eh = roi[2] * scale, roi[3] * scale
+        rw = max(ew - sw, 1.0)
+        rh = max(eh - sh, 1.0)
+        bw, bh = rw / pooled, rh / pooled
+        ngh = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rh / pooled))
+        ngw = sampling_ratio if sampling_ratio > 0 else int(np.ceil(rw / pooled))
+        for ph in range(pooled):
+            for pw in range(pooled):
+                acc = np.zeros(feat.shape[2], np.float32)
+                for iy in range(ngh):
+                    y = sh + ph * bh + (iy + 0.5) * bh / ngh
+                    for ix in range(ngw):
+                        x = sw + pw * bw + (ix + 0.5) * bw / ngw
+                        acc += bilinear_np(feat, y, x)
+                out[r, ph, pw] = acc / (ngh * ngw)
+    return out
+
+
+def test_roi_align_matches_scalar_reference(rng):
+    h, w, c = 25, 32, 5
+    feat = rng.normal(size=(h, w, c)).astype(np.float32)
+    rois = np.array(
+        [
+            [16.0, 16.0, 200.0, 180.0],   # medium box
+            [0.0, 0.0, 511.0, 399.0],     # large box -> multiple samples/bin
+            [100.0, 50.0, 110.0, 60.0],   # small box < 1 feature cell
+            [-10.0, -10.0, 40.0, 40.0],   # out-of-range samples
+        ],
+        np.float32,
+    )
+    want = roi_align_np(feat, rois, 7, 1 / 16.0)
+    got = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 7, 1 / 16.0, max_samples=8)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_matches_torchvision(rng):
+    torch = pytest.importorskip("torch")
+    tv_ops = pytest.importorskip("torchvision.ops")
+    h, w, c = 19, 23, 3
+    feat = rng.normal(size=(h, w, c)).astype(np.float32)
+    rois = np.abs(rng.normal(size=(6, 4)).astype(np.float32)) * 100
+    rois[:, 2:] += rois[:, :2] + 8
+    t_feat = torch.from_numpy(feat).permute(2, 0, 1)[None]
+    t_rois = torch.cat([torch.zeros(6, 1), torch.from_numpy(rois)], dim=1)
+    want = tv_ops.roi_align(
+        t_feat, t_rois, output_size=7, spatial_scale=1 / 16.0,
+        sampling_ratio=0, aligned=False,
+    ).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(
+        roi_align(jnp.asarray(feat), jnp.asarray(rois), 7, 7, 1 / 16.0)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_roi_align_14x14_shape(rng):
+    feat = rng.normal(size=(38, 50, 8)).astype(np.float32)
+    rois = np.array([[10.0, 10.0, 300.0, 500.0]], np.float32)
+    out = roi_align(jnp.asarray(feat), jnp.asarray(rois))
+    assert out.shape == (1, 14, 14, 8)
