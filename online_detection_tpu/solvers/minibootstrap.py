@@ -1,0 +1,139 @@
+"""Minibootstrap: streaming hard-negative mining for FALKON classifiers.
+
+TPU-native rebuild of ``OnlineRegionClassifier.trainWithMinibootstrap``
+(``region-classifier/OnlineRegionClassifier.py:96-155``):
+
+per class, over I negative batches of size B:
+  - batch 0 seeds the cache with all positives + the first negative batch;
+  - batch j>0: score the batch with the current model, keep *hard* negatives
+    (score > HARD_THRESH, default -0.7) into the cache;
+  - retrain FALKON on the cache (fresh Nystrom center selection each time,
+    <=M/2 positives — ``FALKONWrapper_with_centers_selection.py:83-95``);
+  - prune *easy* negatives (score < EASY_THRESH, default -0.9) from the cache.
+
+TPU design differences from the reference (same fixpoint, different shape):
+
+- The cache is a **fixed-capacity masked buffer** laid out once: a static
+  positive prefix followed by one static slot-block per negative batch.
+  Hard mining writes validity bits instead of concatenating; easy pruning
+  clears them instead of slicing. Every iteration sees the same shapes, so
+  the whole loop is ONE ``lax.fori_loop`` body compiled once — masked-out
+  future blocks simply carry zero weight in the normal equations.
+- The per-class loop is **vmapped**: all C classifiers (21 detector classes,
+  15 RPN anchor shapes, C segmentation heads) run their minibootstrap
+  *concurrently* as one batched program — the reference trains them
+  sequentially (``OnlineRegionClassifier.py:100``). The class axis is also
+  the natural mesh axis for multi-chip sharding (see parallel/mesh.py).
+
+Feature z-scoring (``zScores``: (x - mean) * (20 / mean_norm),
+``py_od_utils.py:98-102``) is the caller's job, as in the reference
+(``trainRegionClassifier`` normalizes before the loop).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from online_detection_tpu.ops.gaussian_mmv import mmv_xla
+from online_detection_tpu.solvers.falkon import (
+    FalkonModel,
+    falkon_fit,
+    select_nystrom_centers,
+)
+
+
+class MinibootstrapParams(NamedTuple):
+    """Static solver hyperparameters (FALKON + mining thresholds).
+
+    Defaults mirror ``config_online_rpn_detection_segmentation_ycbv.yaml`` /
+    ``defaults.py:479-499``.
+    """
+
+    m: int = 1000
+    sigma: float = 15.0
+    lam: float = 1e-5
+    hard_thresh: float = -0.7
+    easy_thresh: float = -0.9
+    maxiter: int = 20
+
+
+def _train_one_class(
+    key: jax.Array,
+    pos: jax.Array,  # [P, d]
+    pos_valid: jax.Array,  # [P]
+    neg: jax.Array,  # [I, B, d]
+    neg_valid: jax.Array,  # [I, B]
+    params: MinibootstrapParams,
+):
+    p_cap, d = pos.shape
+    n_iter, batch = neg.shape[0], neg.shape[1]
+    neg_flat = neg.reshape(n_iter * batch, d)
+
+    # static cache layout: [positives | neg block 0 | ... | neg block I-1]
+    cache_x = jnp.concatenate([pos, neg_flat], axis=0)
+    cache_is_pos = jnp.concatenate(
+        [jnp.ones((p_cap,), bool), jnp.zeros((n_iter * batch,), bool)]
+    )
+    y = jnp.where(cache_is_pos, 1.0, -1.0).astype(jnp.float32)
+
+    def body(j, state):
+        alpha, centers, neg_mask = state
+        block = jax.lax.dynamic_slice_in_dim(neg_flat, j * batch, batch, axis=0)
+        block_valid = neg_valid[j]
+        scores = mmv_xla(block, centers, alpha, params.sigma)
+        hard = block_valid & (scores > params.hard_thresh)
+        # first batch: no model yet — everything valid goes in
+        hard = jnp.where(j == 0, block_valid, hard)
+        neg_mask = jax.lax.dynamic_update_slice_in_dim(neg_mask, hard, j * batch, 0)
+
+        cache_valid = jnp.concatenate([pos_valid, neg_mask])
+        c_idx = select_nystrom_centers(
+            jax.random.fold_in(key, j), cache_is_pos, cache_valid, params.m
+        )
+        centers = cache_x[c_idx]
+        alpha = falkon_fit(
+            cache_x,
+            y,
+            cache_valid.astype(jnp.float32),
+            centers,
+            params.sigma,
+            params.lam,
+            maxiter=params.maxiter,
+        )
+
+        # easy pruning over the (valid) negative slots
+        neg_scores = mmv_xla(neg_flat, centers, alpha, params.sigma)
+        neg_mask = neg_mask & (neg_scores >= params.easy_thresh)
+        return alpha, centers, neg_mask
+
+    state0 = (
+        jnp.zeros((params.m,), jnp.float32),
+        jnp.zeros((params.m, d), pos.dtype),
+        jnp.zeros((n_iter * batch,), bool),
+    )
+    alpha, centers, _ = jax.lax.fori_loop(0, n_iter, body, state0)
+    exists = (jnp.sum(pos_valid) > 0) & (jnp.sum(neg_valid) > 0)
+    return centers, alpha, exists
+
+
+def train_classifiers_minibootstrap(
+    key: jax.Array,
+    pos: jax.Array,  # [C, P, d]
+    pos_valid: jax.Array,  # [C, P]
+    neg: jax.Array,  # [C, I, B, d]
+    neg_valid: jax.Array,  # [C, I, B]
+    params: MinibootstrapParams,
+) -> FalkonModel:
+    """Train all C classifiers concurrently. Returns a class-batched model."""
+    c = pos.shape[0]
+    keys = jax.random.split(key, c)
+    fn = jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None))
+    # params determines shapes (m) -> static; sigma stays a Python float on
+    # the model so downstream Pallas dispatch keeps it compile-time constant
+    centers, alpha, exists = jax.jit(fn, static_argnums=(5,))(
+        keys, pos, pos_valid, neg, neg_valid, params
+    )
+    return FalkonModel(centers, alpha, exists, params.sigma)

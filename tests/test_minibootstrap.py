@@ -1,0 +1,82 @@
+"""Minibootstrap trainer behavior tests on synthetic separable data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from online_detection_tpu.solvers.falkon import falkon_predict
+from online_detection_tpu.solvers.minibootstrap import (
+    MinibootstrapParams,
+    train_classifiers_minibootstrap,
+)
+
+
+def make_class_problem(rng, n_cls=2, p=40, n_iter=3, batch=64, d=6):
+    """Gaussian blobs: positives at +2*e_c per class, negatives mixed."""
+    pos = np.stack(
+        [rng.normal(size=(p, d)).astype(np.float32) + 2.0 * np.eye(d)[c] for c in range(n_cls)]
+    )
+    neg = np.stack(
+        [rng.normal(size=(n_iter, batch, d)).astype(np.float32) - 2.0 * np.eye(d)[c]
+         for c in range(n_cls)]
+    )
+    return jnp.asarray(pos), jnp.asarray(neg)
+
+
+def test_minibootstrap_trains_separating_classifiers(rng):
+    pos, neg = make_class_problem(rng)
+    c, p = pos.shape[:2]
+    n_iter, batch = neg.shape[1], neg.shape[2]
+    params = MinibootstrapParams(m=32, sigma=3.0, lam=1e-5)
+    models = train_classifiers_minibootstrap(
+        jax.random.key(0),
+        pos, jnp.ones((c, p), bool),
+        neg, jnp.ones((c, n_iter, batch), bool),
+        params,
+    )
+    assert models.alpha.shape == (c, 32)
+    assert bool(models.exists.all())
+    for ci in range(c):
+        m_i = jax.tree.map(lambda a: a[ci] if hasattr(a, "shape") and a.ndim else a, models)
+        s_pos = falkon_predict(m_i, pos[ci])
+        s_neg = falkon_predict(m_i, neg[ci].reshape(-1, pos.shape[-1]))
+        acc = float((s_pos > 0).mean()) * 0.5 + float((s_neg < 0).mean()) * 0.5
+        assert acc > 0.9, (ci, acc)
+
+
+def test_minibootstrap_missing_class(rng):
+    pos, neg = make_class_problem(rng)
+    c, p = pos.shape[:2]
+    n_iter, batch = neg.shape[1], neg.shape[2]
+    pos_valid = jnp.ones((c, p), bool).at[1].set(False)  # class 1: no positives
+    params = MinibootstrapParams(m=16, sigma=3.0, lam=1e-5)
+    models = train_classifiers_minibootstrap(
+        jax.random.key(0), pos, pos_valid, neg,
+        jnp.ones((c, n_iter, batch), bool), params,
+    )
+    assert bool(models.exists[0]) and not bool(models.exists[1])
+    m1 = jax.tree.map(lambda a: a[1] if hasattr(a, "shape") and a.ndim else a, models)
+    np.testing.assert_allclose(np.asarray(falkon_predict(m1, pos[1])), -2.0)
+
+
+def test_minibootstrap_respects_batch_validity(rng):
+    """Invalid negative rows must not influence the model: compare against
+    the same data with garbage in the invalid slots."""
+    pos, neg = make_class_problem(rng, n_cls=1)
+    c, p = pos.shape[:2]
+    n_iter, batch = neg.shape[1], neg.shape[2]
+    neg_valid = jnp.asarray(rng.uniform(size=(c, n_iter, batch)) > 0.5)
+    params = MinibootstrapParams(m=16, sigma=3.0, lam=1e-4)
+    m_a = train_classifiers_minibootstrap(
+        jax.random.key(7), pos, jnp.ones((c, p), bool), neg, neg_valid, params
+    )
+    garbage = jnp.where(neg_valid[..., None], neg, 1e3)
+    m_b = train_classifiers_minibootstrap(
+        jax.random.key(7), pos, jnp.ones((c, p), bool), garbage, neg_valid, params
+    )
+    probe = pos[0][:10]
+    np.testing.assert_allclose(
+        np.asarray(falkon_predict(jax.tree.map(lambda a: a[0] if hasattr(a, "ndim") and a.ndim else a, m_a), probe)),
+        np.asarray(falkon_predict(jax.tree.map(lambda a: a[0] if hasattr(a, "ndim") and a.ndim else a, m_b), probe)),
+        rtol=1e-3, atol=1e-3,
+    )
