@@ -1,0 +1,183 @@
+"""The assembled detector: backbone -> RPN -> ROI heads, as pure functions.
+
+TPU-native equivalent of the reference's inference meta-architecture
+(``modeling/detector/generalized_rcnn.py:34-64`` + ``roi_heads.py:22-51``):
+
+    image -> ResNet-50-C4 -> RPN conv -> {pretrained | on-line} head
+          -> proposals (top-300) -> RoIAlign(14x14) -> res5 -> avgpool
+          -> on-line box predictor -> detection postprocess (top-100)
+          -> RoIAlign on detections -> res5 -> conv5_mask deconv
+          -> per-pixel FALKON -> 14x14 mask probabilities per detection.
+
+Everything below ``detect`` is one jittable program per static canvas size;
+variable image sizes are handled by padding to the canvas (the reference's
+ImageList zero-pads to 32-divisible sizes, so conv behavior matches) and
+passing the true (width, height) for clipping/anchor-visibility. All outputs
+are fixed-size with validity masks.
+
+The on-line models (FalkonModel / RLSModel / stats pytrees) are *arguments*,
+not module attributes — the reference's model-injection pattern
+(``evaluate_accuracy_detector.py:131-150``) becomes plain function
+application.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_detection_tpu.models import resnet
+from online_detection_tpu.models.heads import (
+    OnlineDetectorModels,
+    OnlineMaskModels,
+    box_predict,
+    mask_deconv,
+    mask_predict,
+)
+from online_detection_tpu.models.postprocess import (
+    Detections,
+    postprocess_detections,
+    select_mask_channel,
+)
+from online_detection_tpu.models.rpn import (
+    OnlineRPNModels,
+    propose,
+    rpn_features,
+    rpn_online,
+    rpn_pretrained,
+)
+from online_detection_tpu.ops.roi_align import roi_align
+
+
+class DetectorConfig(NamedTuple):
+    """Static inference configuration (the yacs knobs that matter here;
+    values = the shipped experiment configs)."""
+
+    pre_nms_top_n: int = 1000
+    post_nms_top_n: int = 300
+    rpn_nms_thresh: float = 0.7
+    rpn_min_size: float = 0.0
+    score_thresh: float = -2.0
+    nms_thresh: float = 0.3
+    detections_per_img: int = 100
+    pooler_resolution: int = 14
+    pooler_scale: float = 1.0 / 16.0
+    # --normalize_features_regressor_detector (see heads.box_predict)
+    normalize_regressor_features: bool = False
+
+
+class OnlineModelSet(NamedTuple):
+    """All trained on-line modules. rpn/mask may be None (pretrained RPN /
+    detection-only pipelines)."""
+
+    rpn: Optional[OnlineRPNModels]
+    detector: OnlineDetectorModels
+    mask: Optional[OnlineMaskModels]
+
+
+def rpn_scores_deltas(params, online_rpn, t):
+    """Dispatch pretrained vs on-line RPN head for one image's conv features
+    t [H, W, 1024] -> (scores [HW*A], deltas [HW*A, 4])."""
+    h, w = t.shape[0], t.shape[1]
+    if online_rpn is None:
+        logits, deltas = rpn_pretrained(params, t[None])
+        a = logits.shape[-1]
+        scores = logits[0].reshape(h * w * a)
+        deltas = deltas[0].reshape(h * w * a, 4)
+    else:
+        scores, deltas = rpn_online(online_rpn, t)
+        scores = scores.reshape(-1)
+        deltas = deltas.reshape(-1, 4)
+    return scores, deltas
+
+
+def extract_box_features(params, c4_img, boxes, cfg: DetectorConfig):
+    """RoIAlign + res5 + avgpool -> the 2048-d detector features."""
+    pooled = roi_align(
+        c4_img, boxes, cfg.pooler_resolution, cfg.pooler_resolution, cfg.pooler_scale
+    )
+    return resnet.res5_head(params["backbone"], pooled)
+
+
+def detect(
+    params,
+    online: OnlineModelSet,
+    anchors: jax.Array,  # [HW*A, 4] precomputed for the canvas feature map
+    image: jax.Array,  # [H, W, 3] padded canvas, BGR mean-subtracted
+    image_size: jax.Array,  # (width, height) true size
+    cfg: DetectorConfig = DetectorConfig(),
+    with_masks: bool = True,
+) -> Tuple[Detections, Optional[jax.Array], jax.Array, jax.Array]:
+    """Full single-image inference.
+
+    Returns (detections, mask_probs [D,14,14] or None,
+             proposals [post_nms,4], proposals_valid).
+    """
+    c4 = resnet.backbone_c4(params["backbone"], image[None])  # [1,h,w,1024]
+    t = rpn_features(params["rpn"], c4)[0]  # [h,w,1024]
+    scores, deltas = rpn_scores_deltas(params["rpn"], online.rpn, t)
+    prop_boxes, prop_scores, prop_valid = propose(
+        scores,
+        deltas,
+        anchors,
+        image_size,
+        pre_nms_top_n=cfg.pre_nms_top_n,
+        post_nms_top_n=cfg.post_nms_top_n,
+        nms_thresh=cfg.rpn_nms_thresh,
+        min_size=cfg.rpn_min_size,
+    )
+
+    feats = extract_box_features(params, c4[0], prop_boxes, cfg)
+    cls_scores, box_deltas = box_predict(
+        online.detector, feats, cfg.normalize_regressor_features
+    )
+    dets = postprocess_detections(
+        prop_boxes,
+        prop_valid,
+        cls_scores,
+        box_deltas,
+        image_size,
+        score_thresh=cfg.score_thresh,
+        nms_thresh=cfg.nms_thresh,
+        detections_per_img=cfg.detections_per_img,
+    )
+
+    mask_probs = None
+    if with_masks and online.mask is not None:
+        pooled = roi_align(
+            c4[0], dets.boxes, cfg.pooler_resolution, cfg.pooler_resolution,
+            cfg.pooler_scale,
+        )
+        res5 = resnet.res5_feature_map(params["backbone"], pooled)  # [D,7,7,2048]
+        deconv = mask_deconv(params["mask_head"], res5)  # [D,14,14,256]
+        pixel_scores = mask_predict(online.mask, deconv)  # [D,14,14,C+1]
+        mask_probs = select_mask_channel(pixel_scores, dets.labels)
+
+    return dets, mask_probs, prop_boxes, prop_valid
+
+
+def detect_jit(canvas_hw: Tuple[int, int], cfg: DetectorConfig, with_masks: bool):
+    """Build a jitted single-image inference function for a fixed canvas."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def fn(params, online, anchors, image, image_size):
+        return detect(params, online, anchors, image, image_size, cfg, with_masks)
+
+    return fn
+
+
+def init_detector_params(key: jax.Array, num_anchors: int = 15, num_classes: int = 22):
+    """Random-weight parameter tree with the full schema (backbone + RPN +
+    mask head) — the unit-test stand-in for converted Caffe2 weights."""
+    from online_detection_tpu.models.heads import init_mask_head_params
+    from online_detection_tpu.models.rpn import init_rpn_params
+
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "backbone": resnet.init_resnet50_params(k1),
+        "rpn": init_rpn_params(k2, 1024, num_anchors),
+        "mask_head": init_mask_head_params(k3, 2048, 256, num_classes),
+    }

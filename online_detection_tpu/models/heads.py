@@ -1,0 +1,118 @@
+"""On-line ROI heads: box predictor, mask predictor — pure functions.
+
+Rebuilds:
+
+- ``OnlineDetectionBOXPredictor`` (``roi_box_predictors.py:8-160``): 2048-d
+  avg-pooled res5 features -> per-class FALKON scores (background column
+  fixed at -2) + per-class RLS box deltas (background deltas = 0). The
+  reference's packed-alpha/block-diagonal "parallel" paths are replaced by
+  the class-batched FALKON/RLS predicts. The regressors consume RAW features
+  by default and z-scored features only when the experiment passes
+  ``--normalize_features_regressor_detector``
+  (``roi_box_predictors.py:37-60``, ``run_experiment_online_rpn_ood_oos.py:130-160``);
+  classifier features are always z-scored.
+- ``MaskRCNNC4Predictor`` (``roi_mask_predictors.py:17-99``): res5 RoI
+  features -> 2x2-stride-2 deconv to 256ch@14x14 -> ReLU -> per-pixel
+  z-score -> per-class per-pixel FALKON -> [R, 14, 14, C+1] logits
+  (background -2).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from online_detection_tpu.solvers.falkon import FalkonModel, falkon_predict_classes
+from online_detection_tpu.solvers.rls import RLSModel, rls_predict
+from online_detection_tpu.utils.stats import FeatureStats, zscore
+
+BACKGROUND_SCORE = -2.0
+
+
+class OnlineDetectorModels(NamedTuple):
+    """Per-class detection head state (class axis = C target classes)."""
+
+    falkon: FalkonModel
+    rls: RLSModel
+    stats: FeatureStats
+
+
+class OnlineMaskModels(NamedTuple):
+    """Per-class per-pixel segmentation head state."""
+
+    falkon: FalkonModel  # [C, M, 256]
+    stats: FeatureStats
+
+
+def box_predict(
+    models: OnlineDetectorModels,
+    feats: jax.Array,
+    normalize_regressor_features: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """feats [R, 2048] -> (scores [R, C+1], deltas [R, (C+1)*4]).
+
+    Column 0 is background: score -2, deltas 0
+    (``roi_box_predictors.py:79-99,131-145``). The flag mirrors
+    ``--normalize_features_regressor_detector`` and must be static.
+    """
+    r = feats.shape[0]
+    z = zscore(feats, models.stats)
+    reg_in = z if normalize_regressor_features else feats
+    cls = falkon_predict_classes(models.falkon, z, missing_score=BACKGROUND_SCORE)
+    deltas = rls_predict(models.rls, reg_in)  # [R, C, 4]
+    scores = jnp.concatenate(
+        [jnp.full((r, 1), BACKGROUND_SCORE, cls.dtype), cls], axis=1
+    )
+    deltas = jnp.concatenate(
+        [jnp.zeros((r, 1, 4), deltas.dtype), deltas], axis=1
+    ).reshape(r, -1)
+    return scores, deltas
+
+
+def mask_deconv(params, x: jax.Array) -> jax.Array:
+    """conv5_mask: ConvTranspose2d(2048 -> 256, k=2, s=2) + ReLU.
+    x [R, 7, 7, 2048] -> [R, 14, 14, 256]."""
+    out = jax.lax.conv_transpose(
+        x.astype(jnp.bfloat16),
+        params["w"].astype(jnp.bfloat16),  # [2, 2, 2048, 256] HWIO
+        strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return jax.nn.relu(out + params["b"])
+
+
+def mask_pretrained_logits(params, x: jax.Array) -> jax.Array:
+    """Stock path: 1x1 conv 256 -> C+1 (``mask_fcn_logits``)."""
+    return (
+        jnp.einsum("rhwc,ck->rhwk", x, params["logits_w"],
+                   preferred_element_type=jnp.float32)
+        + params["logits_b"]
+    )
+
+
+def mask_predict(
+    models: OnlineMaskModels, deconv_feats: jax.Array
+) -> jax.Array:
+    """deconv_feats [R, 14, 14, 256] -> per-pixel class scores
+    [R, 14, 14, C+1] (background -2), matching ``roi_mask_predictors.py:37-99``.
+    """
+    r, h, w, ch = deconv_feats.shape
+    flat = zscore(deconv_feats.reshape(-1, ch), models.stats)
+    cls = falkon_predict_classes(models.falkon, flat, missing_score=BACKGROUND_SCORE)
+    cls = cls.reshape(r, h, w, -1)
+    bg = jnp.full((r, h, w, 1), BACKGROUND_SCORE, cls.dtype)
+    return jnp.concatenate([bg, cls], axis=-1)
+
+
+def init_mask_head_params(key: jax.Array, in_ch: int = 2048, mid: int = 256, num_classes: int = 22):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w": jax.random.normal(k1, (2, 2, in_ch, mid)) * (2.0 / (4 * in_ch)) ** 0.5,
+        "b": jnp.zeros((mid,)),
+        "logits_w": jax.random.normal(k2, (mid, num_classes)) * 0.01,
+        "logits_b": jnp.zeros((num_classes,)),
+    }

@@ -1,0 +1,162 @@
+"""ResNet-50-C4 backbone + res5 box-head stage, pure JAX (NHWC).
+
+Rebuilds the reference's frozen feature extractor
+(maskrcnn-benchmark ResNet with ``MODEL.BACKBONE.CONV_BODY="R-50-C4"``,
+``mrcnn_modified/config/defaults.py:100``, out 1024 ch @ stride 16) with the
+Detectron/Caffe2 conventions that the COCO checkpoint
+``e2e_mask_rcnn_R-50-C4_1x`` assumes:
+
+- **FrozenBatchNorm** everywhere (``defaults.py:276-278``): an affine
+  ``y = x * scale + bias`` with ``scale = gamma / sqrt(var + eps)`` folded at
+  load time — never updated, so it is just two constants per channel here.
+- **stride_in_1x1** (``defaults.py:273``): the stride of a bottleneck sits on
+  the first 1x1 conv, not the 3x3.
+- Input is BGR 0-255 with per-channel mean subtraction
+  (``defaults.py:51-55``); see data/transforms.py.
+- The backbone is frozen in every on-line pipeline (the reference fixes
+  ``FREEZE_CONV_BODY_AT`` and runs under no_grad) — so this module is
+  inference-only by default, but it is a pure jittable/differentiable
+  function, and the SGD baselines reuse it with gradients.
+
+Layout: NHWC (TPU-native); params are plain nested dicts (pytrees) so they
+shard/jit/checkpoint trivially. Conv compute in bfloat16 with f32
+accumulation by default — free accuracy/speed trade on the MXU.
+
+Stage layout (R-50): stem -> res2 x3 -> res3 x4 -> res4 x6 (= C4, stride 16).
+res5 x3 (stride 2) is the box-head feature extractor applied to pooled RoIs
+(``roi_box_feature_extractors.py:21-52``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+# (blocks per stage) for ResNet-50
+R50_STAGES = (3, 4, 6, 3)
+STAGE_CHANNELS = ((64, 256), (128, 512), (256, 1024), (512, 2048))
+
+
+def conv(x: jax.Array, w: jax.Array, stride: int = 1, compute_dtype=jnp.bfloat16) -> jax.Array:
+    """2-D conv, NHWC x HWIO -> NHWC, SAME-style explicit padding to mirror
+    torch Conv2d(padding=k//2)."""
+    k = w.shape[0]
+    pad = k // 2
+    out = jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return out
+
+
+def frozen_bn(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    return x * scale + bias
+
+
+def conv_bn(x: jax.Array, p: Params, stride: int = 1, relu: bool = True) -> jax.Array:
+    out = frozen_bn(conv(x, p["w"], stride), p["scale"], p["bias"])
+    return jax.nn.relu(out) if relu else out
+
+
+def bottleneck(x: jax.Array, p: Params, stride: int = 1) -> jax.Array:
+    """Detectron bottleneck: 1x1(stride) -> 3x3 -> 1x1, + shortcut."""
+    if "branch1" in p:
+        shortcut = conv_bn(x, p["branch1"], stride, relu=False)
+    else:
+        shortcut = x
+    out = conv_bn(x, p["branch2a"], stride)  # stride_in_1x1
+    out = conv_bn(out, p["branch2b"], 1)
+    out = conv_bn(out, p["branch2c"], 1, relu=False)
+    return jax.nn.relu(out + shortcut)
+
+
+def stage(x: jax.Array, blocks: List[Params], stride: int) -> jax.Array:
+    x = bottleneck(x, blocks[0], stride)
+    for b in blocks[1:]:
+        x = bottleneck(x, b, 1)
+    return x
+
+
+def stem(x: jax.Array, p: Params) -> jax.Array:
+    """conv7x7/2 + frozen BN + relu + maxpool 3x3/2 (torch padding=1)."""
+    x = conv_bn(x, p, stride=2)
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+@jax.jit
+def backbone_c4(params: Params, images: jax.Array) -> jax.Array:
+    """images [N, H, W, 3] (BGR, mean-subtracted) -> C4 features
+    [N, H/16, W/16, 1024]."""
+    x = stem(images, params["stem"])
+    x = stage(x, params["res2"], stride=1)
+    x = stage(x, params["res3"], stride=2)
+    x = stage(x, params["res4"], stride=2)
+    return x
+
+
+@jax.jit
+def res5_head(params: Params, rois: jax.Array) -> jax.Array:
+    """Pooled RoI features [R, 14, 14, 1024] -> res5 -> global avg pool
+    [R, 2048] (the 2048-d detector features, ``box_head_getProposals.py:113-115``)."""
+    x = stage(rois, params["res5"], stride=2)  # [R, 7, 7, 2048]
+    return jnp.mean(x, axis=(1, 2))
+
+
+def res5_feature_map(params: Params, rois: jax.Array) -> jax.Array:
+    """res5 without pooling — the mask head shares these [R, 7, 7, 2048]
+    features (``roi_mask_feature_extractors.py`` shares the box extractor)."""
+    return stage(rois, params["res5"], stride=2)
+
+
+# ---------------------------------------------------------------------------
+# parameter construction
+
+
+def _conv_bn_params(key, kh, kw, cin, cout) -> Params:
+    return {
+        "w": jax.random.normal(key, (kh, kw, cin, cout), jnp.float32)
+        * (2.0 / (kh * kw * cin)) ** 0.5,
+        "scale": jnp.ones((cout,), jnp.float32),
+        "bias": jnp.zeros((cout,), jnp.float32),
+    }
+
+
+def init_resnet50_params(key: jax.Array, include_res5: bool = True) -> Params:
+    """Random (He) init with the exact R-50 shape tree — for tests and as the
+    schema the Caffe2/torch weight converters fill in."""
+    keys = iter(jax.random.split(key, 64))
+    params: Params = {"stem": _conv_bn_params(next(keys), 7, 7, 3, 64)}
+    cin = 64
+    for si, (n_blocks, (mid, cout)) in enumerate(zip(R50_STAGES, STAGE_CHANNELS)):
+        name = f"res{si + 2}"
+        if si == 3 and not include_res5:
+            break
+        blocks = []
+        for bi in range(n_blocks):
+            p: Params = {
+                "branch2a": _conv_bn_params(next(keys), 1, 1, cin, mid),
+                "branch2b": _conv_bn_params(next(keys), 3, 3, mid, mid),
+                "branch2c": _conv_bn_params(next(keys), 1, 1, mid, cout),
+            }
+            if bi == 0:
+                p["branch1"] = _conv_bn_params(next(keys), 1, 1, cin, cout)
+            blocks.append(p)
+            cin = cout
+        params[name] = blocks
+    return params

@@ -75,9 +75,16 @@ def nms(
     Returns (boxes[max_out,4], scores[max_out], valid[max_out], idx[max_out])
     sorted by descending score; padding rows have valid=False, score=-inf.
     """
+    n = boxes.shape[0]
     keep = nms_mask(boxes, scores, valid, iou_threshold)
     kept_scores = jnp.where(keep, scores, NEG_INF)
-    top_scores, idx = jax.lax.top_k(kept_scores, max_out)
+    k = min(max_out, n)
+    top_scores, idx = jax.lax.top_k(kept_scores, k)
+    if k < max_out:  # pad to the requested fixed size
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((max_out - k,), NEG_INF, top_scores.dtype)]
+        )
+        idx = jnp.concatenate([idx, jnp.zeros((max_out - k,), idx.dtype)])
     out_valid = top_scores > NEG_INF / 2
     out_boxes = boxes[idx] * out_valid[:, None].astype(boxes.dtype)
     return out_boxes, jnp.where(out_valid, top_scores, NEG_INF), out_valid, idx

@@ -39,7 +39,6 @@ preconditioner well-posed, so this changes nothing but padding.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -49,18 +48,38 @@ from online_detection_tpu.ops.gaussian_mmv import gaussian_kernel, mmv
 EPS_JITTER = 1e-6  # scaled by M on the K_MM diagonal, like falkon's pc_epsilon
 
 
-class FalkonModel(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class FalkonModel:
     """A fitted (batch of) FALKON classifier(s) — a pytree.
 
     centers: [..., M, d] Nystrom points; alpha: [..., M] coefficients;
     exists: [...] bool — False where a class had no data (the reference keeps
     ``None`` models and scores them -2; see ``rpn.py:192-194``).
+
+    ``sigma`` is pytree *aux data* (static under jit) so the Gaussian-kernel
+    Pallas dispatch keeps it a compile-time constant.
     """
 
-    centers: jax.Array
-    alpha: jax.Array
-    exists: jax.Array
-    sigma: float
+    __slots__ = ("centers", "alpha", "exists", "sigma")
+
+    def __init__(self, centers, alpha, exists, sigma: float):
+        self.centers = centers
+        self.alpha = alpha
+        self.exists = exists
+        self.sigma = sigma
+
+    def tree_flatten(self):
+        return (self.centers, self.alpha, self.exists), self.sigma
+
+    @classmethod
+    def tree_unflatten(cls, sigma, children):
+        return cls(*children, sigma)
+
+    def __repr__(self):
+        return (
+            f"FalkonModel(centers={getattr(self.centers, 'shape', self.centers)}, "
+            f"alpha={getattr(self.alpha, 'shape', self.alpha)}, sigma={self.sigma})"
+        )
 
 
 def select_nystrom_centers(

@@ -1,0 +1,110 @@
+"""End-to-end detector assembly test with random weights + random on-line
+models (shape/validity invariants on a small canvas)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from online_detection_tpu.models.anchors import grid_anchors
+from online_detection_tpu.models.detector import (
+    DetectorConfig,
+    OnlineModelSet,
+    detect,
+    init_detector_params,
+)
+from online_detection_tpu.models.heads import OnlineDetectorModels, OnlineMaskModels
+from online_detection_tpu.models.rpn import OnlineRPNModels
+from online_detection_tpu.solvers.falkon import FalkonModel
+from online_detection_tpu.solvers.rls import RLSModel
+from online_detection_tpu.utils.stats import FeatureStats
+
+
+def random_falkon(rng, c, m, d, sigma):
+    return FalkonModel(
+        centers=jnp.asarray(rng.normal(size=(c, m, d)).astype(np.float32)),
+        alpha=jnp.asarray(rng.normal(size=(c, m)).astype(np.float32) * 0.01),
+        exists=jnp.ones((c,), bool),
+        sigma=sigma,
+    )
+
+
+def random_rls(rng, c, d):
+    eye4 = np.broadcast_to(np.eye(4, dtype=np.float32), (c, 4, 4)).copy()
+    return RLSModel(
+        beta=jnp.asarray(rng.normal(size=(c, d + 1, 4)).astype(np.float32) * 1e-4),
+        t_inv=jnp.asarray(eye4),
+        t=jnp.asarray(eye4),
+        mu=jnp.zeros((c, 4)),
+        exists=jnp.ones((c,), bool),
+        mean_losses=jnp.zeros((c, 4)),
+    )
+
+
+def random_stats(rng, d):
+    return FeatureStats(
+        mean=jnp.asarray(rng.normal(size=d).astype(np.float32) * 0.1),
+        std=jnp.ones((d,)),
+        mean_norm=jnp.asarray(20.0),
+    )
+
+
+def build_online(rng, n_classes=3, n_anchors=15, m=16):
+    rpn = OnlineRPNModels(
+        falkon=random_falkon(rng, n_anchors, m, 1024, 50.0),
+        rls=random_rls(rng, n_anchors, 1024),
+        stats=random_stats(rng, 1024),
+    )
+    det = OnlineDetectorModels(
+        falkon=random_falkon(rng, n_classes, m, 2048, 15.0),
+        rls=random_rls(rng, n_classes, 2048),
+        stats=random_stats(rng, 2048),
+    )
+    mask = OnlineMaskModels(
+        falkon=random_falkon(rng, n_classes, m, 256, 10.0),
+        stats=random_stats(rng, 256),
+    )
+    return OnlineModelSet(rpn=rpn, detector=det, mask=mask)
+
+
+def test_detect_end_to_end_shapes(rng):
+    h, w = 128, 160
+    params = init_detector_params(jax.random.key(0), 15, 4)
+    online = build_online(rng)
+    anchors = jnp.asarray(grid_anchors(h // 16, w // 16))
+    image = jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32))
+    cfg = DetectorConfig(pre_nms_top_n=200, post_nms_top_n=50, detections_per_img=20)
+
+    dets, masks, props, pvalid = detect(
+        params, online, anchors, image, jnp.asarray([w, h]), cfg
+    )
+    assert props.shape == (50, 4) and pvalid.shape == (50,)
+    assert dets.boxes.shape == (20, 4)
+    assert masks.shape == (20, 14, 14)
+    # valid detections have labels in [1, C] and boxes inside the image
+    v = np.asarray(dets.valid)
+    if v.any():
+        labels = np.asarray(dets.labels)[v]
+        assert ((labels >= 1) & (labels <= 3)).all()
+        b = np.asarray(dets.boxes)[v]
+        assert (b[:, 0] >= 0).all() and (b[:, 2] <= w - 1 + 1e-3).all()
+        assert (b[:, 1] >= 0).all() and (b[:, 3] <= h - 1 + 1e-3).all()
+        m = np.asarray(masks)[v]
+        assert ((m >= 0) & (m <= 1)).all()
+    # padding rows zeroed
+    assert (np.asarray(dets.boxes)[~v] == 0).all()
+
+
+def test_detect_pretrained_rpn_path(rng):
+    """online.rpn=None -> pretrained conv logits propose instead."""
+    h, w = 128, 160
+    params = init_detector_params(jax.random.key(1), 15, 4)
+    online = build_online(rng)._replace(rpn=None, mask=None)
+    anchors = jnp.asarray(grid_anchors(h // 16, w // 16))
+    image = jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32))
+    cfg = DetectorConfig(pre_nms_top_n=100, post_nms_top_n=30, detections_per_img=10)
+    dets, masks, props, pvalid = detect(
+        params, online, anchors, image, jnp.asarray([w, h]), cfg, with_masks=False
+    )
+    assert masks is None
+    assert dets.boxes.shape == (10, 4)
+    assert bool(pvalid.any())
