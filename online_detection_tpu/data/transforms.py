@@ -1,0 +1,74 @@
+"""Image preprocessing matching the reference's Caffe2 conventions.
+
+``engine/inference.py:114-141`` + maskrcnn-benchmark transforms: resize so the
+min side is 600 (capped at max side 1333), convert RGB->BGR, scale to 0-255,
+subtract the Detectron pixel means (``defaults.py:43-55``), pad to a
+32-divisible canvas (ImageList). GT boxes scale with the image.
+
+Host-side NumPy — this runs in the data loader thread, not on the TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+PIXEL_MEAN_BGR = np.array([102.9801, 115.9465, 122.7750], np.float32)
+
+
+def resize_scale(w: int, h: int, min_size: int = 600, max_size: int = 1333) -> float:
+    """maskrcnn-benchmark Resize: scale so min side == min_size unless the max
+    side would exceed max_size."""
+    size = min_size
+    mx = max(w, h)
+    mn = min(w, h)
+    if mx / mn * size > max_size:
+        size = int(round(max_size * mn / mx))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return 1.0
+    return size / mn
+
+
+def canvas_size(w: int, h: int, min_size: int = 600, max_size: int = 1333,
+                divisibility: int = 32) -> Tuple[int, int]:
+    """(canvas_h, canvas_w) for a raw image size — scaled then ceil to /32."""
+    s = resize_scale(w, h, min_size, max_size)
+    sw, sh = int(round(w * s)), int(round(h * s))
+    pad = lambda v: (v + divisibility - 1) // divisibility * divisibility
+    return pad(sh), pad(sw)
+
+
+def preprocess_image(
+    rgb: np.ndarray,  # [H, W, 3] uint8 RGB
+    canvas_hw: Tuple[int, int],
+    min_size: int = 600,
+    max_size: int = 1333,
+):
+    """-> (canvas [ch, cw, 3] float32 BGR mean-subtracted, scale,
+    (scaled_w, scaled_h))."""
+    h, w = rgb.shape[:2]
+    s = resize_scale(w, h, min_size, max_size)
+    sw, sh = int(round(w * s)), int(round(h * s))
+    if (sw, sh) != (w, h):
+        try:
+            import PIL.Image as PILImage
+
+            img = PILImage.fromarray(rgb).resize((sw, sh), PILImage.BILINEAR)
+            rgb = np.asarray(img)
+        except ImportError:  # pragma: no cover
+            from numpy import floor
+
+            yi = np.clip((np.arange(sh) + 0.5) * h / sh - 0.5, 0, h - 1)
+            xi = np.clip((np.arange(sw) + 0.5) * w / sw - 0.5, 0, w - 1)
+            rgb = rgb[np.round(yi).astype(int)][:, np.round(xi).astype(int)]
+    bgr = rgb[..., ::-1].astype(np.float32) - PIXEL_MEAN_BGR
+    ch, cw = canvas_hw
+    canvas = np.zeros((ch, cw, 3), np.float32)
+    canvas[:sh, :sw] = bgr[:ch, :cw]
+    return canvas, s, (sw, sh)
+
+
+def scale_boxes(boxes: np.ndarray, scale: float) -> np.ndarray:
+    """BoxList.resize semantics for uniform scaling: plain coordinate scale."""
+    return boxes * scale
