@@ -1,0 +1,421 @@
+"""End-to-end on-line training + evaluation orchestration.
+
+The TPU-native equivalent of the flagship driver
+``experiments/run_experiment_online_rpn_ood_oos.py`` (call stack SURVEY.md
+§3.1): one streaming harvest pass over the TARGET-TASK train set, then
+closed-form/CG solvers for every on-line module, then inference + VOC mAP.
+
+Stage structure and the result.txt timing contract mirror the reference:
+
+  1. harvest (RPN + detector + segmentation features, single CNN pass)
+  2. RPN:      stats -> z-score -> 15x FALKON (minibootstrap) + RLS (z-scored COXY)
+  3. detector: RLS (raw COXY by default) -> stats -> z-score -> Cx FALKON
+  4. segmentation: stats -> z-score -> Cx per-pixel FALKON (M=500)
+  5. inference over the test set -> detection/segmentation mAP -> result.txt
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+from online_detection_tpu.data.evaluation import voc_eval
+from online_detection_tpu.data import transforms
+from online_detection_tpu.engine.accumulate import HarvestAccumulator
+from online_detection_tpu.engine.harvest import HarvestConfig, harvest_image
+from online_detection_tpu.models.anchors import anchor_visibility, grid_anchors
+from online_detection_tpu.models.detector import (
+    DetectorConfig,
+    OnlineModelSet,
+    detect,
+)
+from online_detection_tpu.models.heads import OnlineDetectorModels, OnlineMaskModels
+from online_detection_tpu.models.rpn import OnlineRPNModels
+from online_detection_tpu.solvers.minibootstrap import (
+    MinibootstrapParams,
+    train_classifiers_minibootstrap,
+)
+from online_detection_tpu.solvers.rls import rls_fit
+from online_detection_tpu.utils.stats import (
+    FeatureStats,
+    compute_feature_stats,
+    zscore,
+)
+
+
+class OnlineTrainConfig(NamedTuple):
+    """Hyperparameters of the on-line modules; defaults =
+    ``config_online_rpn_detection_segmentation_ycbv.yaml`` + feature
+    extraction config (SURVEY.md §2.4)."""
+
+    num_classes: int = 21
+    num_anchor_classes: int = 15
+    # FALKON (sigma, lambda, M)
+    det_sigma: float = 15.0
+    det_lam: float = 1e-5
+    det_m: int = 1000
+    rpn_sigma: float = 50.0
+    rpn_lam: float = 1e-3
+    rpn_m: int = 1000
+    segm_sigma: float = 10.0
+    segm_lam: float = 1e-6
+    segm_m: int = 500
+    # RLS
+    det_reg_lam: float = 1000.0
+    rpn_reg_lam: float = 0.01
+    # minibootstrap
+    iterations: int = 10
+    batch_size: int = 2000
+    hard_thresh: float = -0.7
+    easy_thresh: float = -0.9
+    # misc
+    pos_fraction_feat_stats: float = 0.8
+    use_only_gt_positives_detection: bool = False
+    normalize_features_regressor_detector: bool = False
+    segm_batch_size: int = 20000
+    with_rpn: bool = True
+    with_segmentation: bool = True
+
+
+def _write_result(output_dir: Optional[str], text: str):
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "result.txt"), "a") as fid:
+            fid.write(text)
+
+
+def _zscore_pools(head: Dict, stats: FeatureStats) -> Tuple[jax.Array, ...]:
+    pos = zscore(jnp.asarray(head["pos"]), stats) * head["pos_valid"][..., None]
+    neg = zscore(jnp.asarray(head["neg"]), stats) * head["neg_valid"][..., None]
+    return pos, neg
+
+
+def _head_stats(head: Dict, rng: np.random.Generator, pos_fraction: float) -> FeatureStats:
+    return compute_feature_stats(
+        rng,
+        jnp.asarray(head["pos"]), jnp.asarray(head["pos_valid"]),
+        jnp.asarray(head["neg"]), jnp.asarray(head["neg_valid"]),
+        pos_fraction=pos_fraction,
+    )
+
+
+def _positives_from_coxy(coxy: Dict, num_classes: int):
+    """``load_positives_from_COXY`` (``py_od_utils.py:226-239``): per class,
+    the COXY rows labeled with that class become classifier positives."""
+    xs = coxy["X"]
+    cs = coxy["C"].astype(int)
+    cap = max(1, max((int((cs == c + 1).sum()) for c in range(num_classes)), default=1))
+    pos = np.zeros((num_classes, cap, xs.shape[1] if len(xs) else 0), np.float32)
+    valid = np.zeros((num_classes, cap), bool)
+    for c in range(num_classes):
+        rows = xs[cs == c + 1]
+        n = min(len(rows), cap)
+        if n:
+            pos[c, :n] = rows[:n]
+            valid[c, :n] = True
+    return pos, valid
+
+
+def harvest_dataset(
+    key: jax.Array,
+    params,
+    dataset: ICubWorldDataset,
+    cfg: OnlineTrainConfig,
+    canvas_hw: Tuple[int, int],
+    online_rpn: Optional[OnlineRPNModels] = None,
+    dcfg: DetectorConfig = DetectorConfig(),
+    gt_cap: int = 20,
+    output_dir: Optional[str] = None,
+    min_size: int = 600,
+    max_size: int = 1333,
+) -> Dict:
+    """One streaming pass over ``dataset`` -> solver-ready feature arrays."""
+    t0 = time.time()
+    n_images = len(dataset)
+    npick = int(np.ceil(cfg.batch_size * cfg.iterations / max(n_images, 1)))
+    hcfg = HarvestConfig(
+        num_anchor_classes=cfg.num_anchor_classes,
+        num_classes=cfg.num_classes,
+        negatives_to_pick=npick,
+        gt_cap=gt_cap,
+    )
+    ch, cw = canvas_hw
+    anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
+
+    jit_harvest = jax.jit(
+        lambda k, p, orpn, a, v, im, sz, gb, gl, gv, gm: harvest_image(
+            k, p, orpn, a, v, im, sz, gb, gl, gv, gm, hcfg, dcfg,
+            with_rpn=cfg.with_rpn,
+        ),
+        static_argnames=(),
+    )
+
+    acc = HarvestAccumulator(cfg.num_anchor_classes, cfg.num_classes)
+    keys = jax.random.split(key, n_images)
+    for i in range(n_images):
+        anno = dataset.get_annotation(i)
+        rgb = dataset.load_image(i)
+        canvas, scale, (sw, sh) = transforms.preprocess_image(
+            rgb, canvas_hw, min_size, max_size
+        )
+        boxes = transforms.scale_boxes(anno.boxes, scale)
+        g = len(boxes)
+        gb = np.zeros((gt_cap, 4), np.float32)
+        gb[:g] = boxes[:gt_cap]
+        gl = np.zeros((gt_cap,), np.int32)
+        gl[:g] = anno.labels[:gt_cap]
+        gv = np.arange(gt_cap) < g
+        if cfg.with_segmentation:
+            masks = dataset.load_masks(i, anno)  # [G, H, W] original res
+            gm = np.zeros((gt_cap, ch, cw), np.float32)
+            for j in range(min(g, gt_cap)):
+                # nearest-neighbor scale to canvas resolution
+                ys = np.clip((np.arange(ch) / scale).astype(int), 0, masks.shape[1] - 1)
+                xs = np.clip((np.arange(cw) / scale).astype(int), 0, masks.shape[2] - 1)
+                gm[j] = masks[j][np.ix_(ys, xs)] * (
+                    (np.arange(ch)[:, None] < sh) & (np.arange(cw)[None, :] < sw)
+                )
+        else:
+            gm = None
+        vis = anchor_visibility(np.asarray(anchors), (sw, sh))
+        chunk = jit_harvest(
+            keys[i], params, online_rpn, anchors, jnp.asarray(vis),
+            jnp.asarray(canvas), jnp.asarray([sw, sh]),
+            jnp.asarray(gb), jnp.asarray(gl), jnp.asarray(gv),
+            jnp.asarray(gm) if gm is not None else None,
+        )
+        acc.add(chunk)
+
+    out = acc.finalize(
+        rpn_iterations=cfg.iterations, rpn_batch_size=cfg.batch_size,
+        det_iterations=cfg.iterations, det_batch_size=cfg.batch_size,
+        segm_batch_size=cfg.segm_batch_size,
+        with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
+    )
+    dt = time.time() - t0
+    _write_result(
+        output_dir,
+        "Detector's features extracted in: {}min:{}s \n".format(
+            int(dt / 60), round(dt % 60)
+        ),
+    )
+    out["extraction_time"] = dt
+    return out
+
+
+def train_online_modules(
+    key: jax.Array,
+    harvest: Dict,
+    cfg: OnlineTrainConfig,
+    output_dir: Optional[str] = None,
+    seed: int = 0,
+) -> OnlineModelSet:
+    """Stages 2-4: FALKON + RLS training for every on-line module."""
+    rng = np.random.default_rng(seed)
+    k_rpn, k_det, k_seg = jax.random.split(key, 3)
+
+    online_rpn = None
+    if cfg.with_rpn and "rpn" in harvest:
+        rpn = harvest["rpn"]
+        stats_rpn = _head_stats(rpn, rng, cfg.pos_fraction_feat_stats)
+        t0 = time.time()
+        pos, neg = _zscore_pools(rpn, stats_rpn)
+        models = train_classifiers_minibootstrap(
+            k_rpn, pos, jnp.asarray(rpn["pos_valid"]),
+            neg, jnp.asarray(rpn["neg_valid"]),
+            MinibootstrapParams(
+                m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
+                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+            ),
+        )
+        dt = time.time() - t0
+        _write_result(
+            output_dir,
+            "RPN's Online Classifier training time: {}min:{}s \n".format(
+                int(dt / 60), round(dt % 60)
+            ),
+        )
+        # RPN refiners always train on z-scored COXY (run_..._oos.py:114)
+        t0 = time.time()
+        coxy = rpn["coxy"]
+        cx = zscore(jnp.asarray(coxy["X"]), stats_rpn)
+        rls = _fit_rls_per_class(
+            cx, coxy["Y"], coxy["C"], cfg.num_anchor_classes, cfg.rpn_reg_lam,
+            zero_based=True,
+        )
+        dt = time.time() - t0
+        _write_result(
+            output_dir,
+            "RPN's Online Region Refiner training time: {}min:{}s \n".format(
+                int(dt / 60), round(dt % 60)
+            ),
+        )
+        online_rpn = OnlineRPNModels(falkon=models, rls=rls, stats=stats_rpn)
+
+    # ---- detector ----
+    det = harvest["det"]
+    coxy = det["coxy"]
+    if not cfg.use_only_gt_positives_detection and len(coxy["X"]):
+        pos_np, pos_valid_np = _positives_from_coxy(coxy, cfg.num_classes)
+        det = dict(det, pos=pos_np, pos_valid=pos_valid_np)
+    stats_det = _head_stats(det, rng, cfg.pos_fraction_feat_stats)
+
+    t0 = time.time()
+    reg_x = jnp.asarray(coxy["X"])
+    if cfg.normalize_features_regressor_detector:
+        reg_x = zscore(reg_x, stats_det)
+    det_rls = _fit_rls_per_class(
+        reg_x, coxy["Y"], coxy["C"], cfg.num_classes, cfg.det_reg_lam,
+        zero_based=False,
+    )
+    dt = time.time() - t0
+    _write_result(
+        output_dir,
+        "Detector's Online Region Refiner training time: {}min:{}s \n \n".format(
+            int(dt / 60), round(dt % 60)
+        ),
+    )
+
+    t0 = time.time()
+    pos, neg = _zscore_pools(det, stats_det)
+    det_falkon = train_classifiers_minibootstrap(
+        k_det, pos, jnp.asarray(det["pos_valid"]),
+        neg, jnp.asarray(det["neg_valid"]),
+        MinibootstrapParams(
+            m=cfg.det_m, sigma=cfg.det_sigma, lam=cfg.det_lam,
+            hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+        ),
+    )
+    dt = time.time() - t0
+    _write_result(
+        output_dir,
+        "Detector's Online Classifier training time: {}min:{}s \n".format(
+            int(dt / 60), round(dt % 60)
+        ),
+    )
+    online_det = OnlineDetectorModels(falkon=det_falkon, rls=det_rls, stats=stats_det)
+
+    # ---- segmentation ----
+    online_mask = None
+    if cfg.with_segmentation and "mask" in harvest:
+        seg = harvest["mask"]
+        stats_seg = _head_stats(seg, rng, cfg.pos_fraction_feat_stats)
+        t0 = time.time()
+        pos, neg = _zscore_pools(seg, stats_seg)
+        seg_falkon = train_classifiers_minibootstrap(
+            k_seg, pos, jnp.asarray(seg["pos_valid"]),
+            neg, jnp.asarray(seg["neg_valid"]),
+            MinibootstrapParams(
+                m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
+                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+            ),
+        )
+        dt = time.time() - t0
+        _write_result(
+            output_dir,
+            "Online Segmentation training time: {}min:{}s \n".format(
+                int(dt / 60), round(dt % 60)
+            ),
+        )
+        online_mask = OnlineMaskModels(falkon=seg_falkon, stats=stats_seg)
+
+    return OnlineModelSet(rpn=online_rpn, detector=online_det, mask=online_mask)
+
+
+def _fit_rls_per_class(x, y, c, num_classes, lam, zero_based):
+    """Group COXY rows by class and fit the batched RLS refiners."""
+    x = np.asarray(x)
+    y = np.asarray(y)
+    cls = np.asarray(c).astype(int)
+    if not zero_based:
+        cls = cls - 1
+    cap = max(1, max((int((cls == i).sum()) for i in range(num_classes)), default=1))
+    d = x.shape[1] if len(x) else 1
+    xb = np.zeros((num_classes, cap, d), np.float32)
+    yb = np.zeros((num_classes, cap, 4), np.float32)
+    w = np.zeros((num_classes, cap), np.float32)
+    for i in range(num_classes):
+        rows = cls == i
+        n = min(int(rows.sum()), cap)
+        if n:
+            xb[i, :n] = x[rows][:n]
+            yb[i, :n] = y[rows][:n]
+            w[i, :n] = 1.0
+    return rls_fit(jnp.asarray(xb), jnp.asarray(yb), jnp.asarray(w), lam)
+
+
+def run_inference(
+    params,
+    online: OnlineModelSet,
+    dataset: ICubWorldDataset,
+    canvas_hw: Tuple[int, int],
+    dcfg: DetectorConfig = DetectorConfig(),
+    with_masks: bool = True,
+    output_dir: Optional[str] = None,
+    iou_thresholds=(0.5,),
+    use_07_metric: bool = True,
+    min_size: int = 600,
+    max_size: int = 1333,
+):
+    """Test loop + VOC evaluation (``engine/inference.py:266-353`` +
+    evaluation dispatch). Returns (results dict, predictions)."""
+    ch, cw = canvas_hw
+    anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
+    with_masks = with_masks and online.mask is not None
+    jit_detect = jax.jit(
+        lambda p, o, a, im, sz: detect(p, o, a, im, sz, dcfg, with_masks)
+    )
+
+    predictions, ground_truths = [], []
+    t0 = time.time()
+    for i in range(len(dataset)):
+        anno = dataset.get_annotation(i)
+        rgb = dataset.load_image(i)
+        canvas, scale, (sw, sh) = transforms.preprocess_image(
+            rgb, canvas_hw, min_size, max_size
+        )
+        dets, mask_probs, _, _ = jit_detect(
+            params, online, anchors, jnp.asarray(canvas), jnp.asarray([sw, sh])
+        )
+        dets = jax.device_get(dets)
+        v = dets.valid
+        pred = {
+            "boxes": dets.boxes[v] / scale,  # back to original image coords
+            "scores": dets.scores[v],
+            "labels": dets.labels[v],
+        }
+        if with_masks and mask_probs is not None:
+            pred["masks"] = np.asarray(jax.device_get(mask_probs))[v]
+        predictions.append(pred)
+        gt = {
+            "boxes": anno.boxes,
+            "labels": anno.labels,
+            "difficult": anno.difficult,
+        }
+        if with_masks:
+            gt["masks"] = dataset.load_masks(i, anno)
+        ground_truths.append(gt)
+    test_time = time.time() - t0
+    _write_result(
+        output_dir,
+        "Average image testing time: {:.4f} seconds.\n".format(
+            test_time / max(len(dataset), 1)
+        ),
+    )
+
+    results = voc_eval.evaluate(
+        predictions,
+        ground_truths,
+        dataset.classes,
+        iou_thresholds=iou_thresholds,
+        use_07_metric=use_07_metric,
+        evaluate_segmentation=with_masks,
+        output_dir=output_dir,
+    )
+    return results, predictions

@@ -116,9 +116,10 @@ def rls_fit(
         sum_x1 = g[i][:, -1]  # X1^T 1 (last Gram column = column sums incl. n)
         bw = (b[i] - np.outer(sum_x1, mu)) @ t
         a = g[i] + lam * np.eye(dp1)
-        r = np.linalg.cholesky(a)
-        z = np.linalg.solve(r, bw)
-        beta[i] = np.linalg.solve(r.T, z)
+        # The device Gram is f32; rounding can push a near-rank-deficient
+        # G + lam*I indefinite, so solve by LU instead of the reference's
+        # Cholesky (same ridge solution, no PD requirement).
+        beta[i] = np.linalg.solve(a, bw)
         # mean loss per target col: 0.5/n * (w^T G w - 2 w^T rhs + yw^T yw)
         ywty = t.T @ (yty[i] - ni * np.outer(mu, mu)) @ t
         for k in range(4):
