@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Flagship experiment: on-line RPN + on-line detection + on-line segmentation.
+
+TPU-native counterpart of the reference's
+``experiments/run_experiment_online_rpn_ood_oos.py`` (call stack SURVEY.md
+§3.1): single feature-extraction pass -> train O-RPN FALKON+RLS -> detector
+FALKON+RLS -> per-pixel segmentation FALKON -> full evaluation, with the same
+CLI flags and the same save/load file contracts.
+
+Config files are the reference's YAML formats (feature-extraction yacs YAML +
+on-line raw YAML); pass absolute paths or names resolved against
+``experiments/configs``. Without config files, the shipped YCB-Video defaults
+(SURVEY.md §2.4) apply.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--output_dir", type=str,
+                        default="online_rpn_detection_segmentation_experiment_ycbv")
+    parser.add_argument("--save_RPN_detector_segmentation_models", action="store_true")
+    parser.add_argument("--load_RPN_detector_segmentation_models", action="store_true")
+    parser.add_argument("--save_RPN_detector_segmentation_features", action="store_true")
+    parser.add_argument("--load_RPN_detector_segmentation_features", action="store_true")
+    parser.add_argument("--use_only_gt_positives_detection", action="store_true")
+    parser.add_argument("--sampling_ratio_segmentation", type=float, default=0.3)
+    parser.add_argument("--pos_fraction_feat_stats", type=float, default=0.8)
+    parser.add_argument("--normalize_features_regressor_detector", action="store_true")
+    parser.add_argument("--sampling_ratio_positives_detection", type=float, default=1.0)
+    parser.add_argument("--config_file_feature_extraction", type=str,
+                        default="config_feature_extraction_online_rpn_det_segm_ycbv.yaml")
+    parser.add_argument("--config_file_online_rpn_detection_segmentation", type=str,
+                        default="config_online_rpn_detection_segmentation_ycbv.yaml")
+    parser.add_argument("--minibootstrap_iterations", type=int)
+    parser.add_argument("--CPU", action="store_true",
+                        help="Run solvers on the CPU platform instead of TPU")
+    parser.add_argument("--data_root", type=str, default="Data/datasets",
+                        help="Root of the dataset tree (reference layout)")
+    parser.add_argument("--weights", type=str, default=None,
+                        help="Path to a .pkl/.pth checkpoint for the feature extractor")
+    parser.add_argument("--eval_segm_with_gt_bboxes", action="store_true")
+    return parser.parse_args(argv)
+
+
+def resolve_config(path):
+    if path and not os.path.isabs(path):
+        local = os.path.join(os.path.dirname(__file__), "configs", path)
+        if os.path.exists(local):
+            return local
+    return path if path and os.path.exists(path) else None
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.CPU:
+        jax.config.update("jax_platforms", "cpu")
+
+    from online_detection_tpu.config.config import (
+        build_configs, load_yaml, resolve_dataset,
+    )
+    from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+    from online_detection_tpu.data.transforms import canvas_size
+    from online_detection_tpu.models.detector import init_detector_params
+    from online_detection_tpu.models.weights import load_checkpoint
+    from online_detection_tpu.pipelines import online_pipeline as pipe
+    from online_detection_tpu.utils import checkpoint as ckpt
+
+    feat_cfg = {}
+    online_cfg = {}
+    p = resolve_config(args.config_file_feature_extraction)
+    if p:
+        feat_cfg = load_yaml(p)
+    p = resolve_config(args.config_file_online_rpn_detection_segmentation)
+    if p:
+        online_cfg = load_yaml(p)
+
+    train_cfg, det_cfg, extras = build_configs(
+        feat_cfg, online_cfg, args.minibootstrap_iterations
+    )
+    train_cfg = train_cfg._replace(
+        pos_fraction_feat_stats=args.pos_fraction_feat_stats,
+        use_only_gt_positives_detection=args.use_only_gt_positives_detection,
+        normalize_features_regressor_detector=args.normalize_features_regressor_detector,
+    )
+    det_cfg = det_cfg._replace(
+        normalize_regressor_features=args.normalize_features_regressor_detector
+    )
+
+    output_dir = args.output_dir
+    os.makedirs(output_dir, exist_ok=True)
+
+    def make_dataset(name):
+        factory, kwargs = resolve_dataset(name, args.data_root)
+        if factory == "YCBVideoDataset":
+            from online_detection_tpu.data.datasets.ycb_video import YCBVideoDataset
+
+            return YCBVideoDataset(**kwargs)
+        return ICubWorldDataset(
+            kwargs["data_dir"], kwargs["image_set"], kwargs["split"],
+            is_target_task=kwargs.get("is_target_task", False),
+            icwt_21_objs=kwargs.get("icwt_21_objs", False),
+        )
+
+    train_ds = make_dataset(extras["train_datasets"][0])
+    test_ds = make_dataset(extras["test_datasets"][0])
+
+    # feature extractor weights
+    if args.weights and os.path.exists(args.weights):
+        params = load_checkpoint(args.weights)
+    else:
+        weight_ref = extras.get("weight") or ""
+        local = weight_ref.replace("catalog://", "Data/pretrained_feature_extractors/")
+        if weight_ref and os.path.exists(local):
+            params = load_checkpoint(local)
+        else:
+            print(
+                "WARNING: no pretrained weights found — using random init "
+                "(pass --weights for real runs)"
+            )
+            params = init_detector_params(
+                jax.random.key(0), 15, train_cfg.num_classes + 1
+            )
+
+    info = train_ds.get_annotation(0)
+    canvas = canvas_size(info.width, info.height,
+                         extras["min_size_test"], extras["max_size_test"])
+
+    total_t0 = time.time()
+    if args.load_RPN_detector_segmentation_models:
+        online = ckpt.load_online_models(output_dir)
+    else:
+        if args.load_RPN_detector_segmentation_features:
+            harvest = ckpt.load_features(output_dir)
+        else:
+            harvest = pipe.harvest_dataset(
+                jax.random.key(1), params, train_ds, train_cfg, canvas,
+                dcfg=det_cfg, output_dir=output_dir,
+                min_size=extras["min_size_test"], max_size=extras["max_size_test"],
+            )
+            if args.save_RPN_detector_segmentation_features:
+                ckpt.save_features(output_dir, harvest)
+        online = pipe.train_online_modules(
+            jax.random.key(2), harvest, train_cfg, output_dir
+        )
+        if args.save_RPN_detector_segmentation_models:
+            ckpt.save_online_models(output_dir, online)
+
+    train_time = time.time() - total_t0
+    with open(os.path.join(output_dir, "result.txt"), "a") as fid:
+        fid.write(
+            "Total training time: {}min:{}s \n".format(
+                int(train_time / 60), round(train_time % 60)
+            )
+        )
+
+    results, _ = pipe.run_inference(
+        params, online, test_ds, canvas, det_cfg,
+        output_dir=output_dir,
+        iou_thresholds=extras["iou_thresholds"],
+        use_07_metric=extras["use_07_metric"],
+        min_size=extras["min_size_test"], max_size=extras["max_size_test"],
+    )
+    for k, v in results.items():
+        if k.endswith("map_0.5") or k.endswith("map_0.7"):
+            print(f"{k}: {v:.4f}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -340,6 +340,91 @@ def average_recall(gt_boxes, gt_valid, prop_boxes, prop_valid):
     return 2.0 * jnp.sum(vals) / n
 
 
+def harvest_trunk(
+    params,
+    online_rpn: Optional[OnlineRPNModels],
+    anchors: jax.Array,  # [HW*A, 4]
+    image: jax.Array,  # [H, W, 3] padded canvas
+    image_size: jax.Array,  # (width, height)
+    gt_boxes: jax.Array,  # [G, 4]
+    gt_valid: jax.Array,  # [G]
+    dcfg: DetectorConfig = DetectorConfig(),
+    with_mask_features: bool = True,
+):
+    """The CNN half of the harvesting pass: backbone -> RPN conv -> proposals
+    -> (GT ++ proposals) RoI features. Returns
+    (t [h,w,1024], prop_boxes, prop_valid, feats [R,2048], deconv [G,14,14,256]).
+
+    Kept as its own jit unit: fusing the conv trunk with the sampling stages
+    into one program sends the TPU compiler into a pathological fusion search
+    (hours), while the two halves compile in seconds each.
+    """
+    c4 = resnet.backbone_c4(params["backbone"], image[None])
+    t = rpn_features(params["rpn"], c4)[0]
+
+    # proposals: pretrained conv head (propagate_rpn_boxes) or injected
+    # on-line RPN (serial pipeline, ``extract_features_detector.py``)
+    scores, deltas = rpn_scores_deltas(params["rpn"], online_rpn, t)
+    prop_boxes, _, prop_valid = propose(
+        scores, deltas, anchors, image_size,
+        pre_nms_top_n=dcfg.pre_nms_top_n, post_nms_top_n=dcfg.post_nms_top_n,
+        nms_thresh=dcfg.rpn_nms_thresh, min_size=dcfg.rpn_min_size,
+    )
+
+    # GT prepended to proposals (``generalized_rcnn_getProposals.py:90-96``)
+    all_boxes = jnp.concatenate([gt_boxes, prop_boxes], axis=0)
+    pooled = roi_align(
+        c4[0], all_boxes, dcfg.pooler_resolution, dcfg.pooler_resolution,
+        dcfg.pooler_scale,
+    )
+    res5 = resnet.res5_feature_map(params["backbone"], pooled)  # [R,7,7,2048]
+    feats = jnp.mean(res5, axis=(1, 2))  # [R, 2048]
+
+    deconv = None
+    if with_mask_features:
+        g_cap = gt_boxes.shape[0]
+        deconv = mask_deconv(params["mask_head"], res5[:g_cap])
+    return t, prop_boxes, prop_valid, feats, deconv
+
+
+def harvest_chunks(
+    key: jax.Array,
+    t: jax.Array,
+    prop_boxes: jax.Array,
+    prop_valid: jax.Array,
+    feats: jax.Array,
+    deconv: Optional[jax.Array],
+    anchors: jax.Array,
+    visibility: jax.Array,
+    image_size: jax.Array,
+    gt_boxes: jax.Array,
+    gt_labels: jax.Array,
+    gt_valid: jax.Array,
+    gt_masks: Optional[jax.Array],
+    hcfg: HarvestConfig,
+    with_rpn: bool = True,
+) -> HarvestChunk:
+    """The sampling half: anchor matching + minibootstrap chunk extraction."""
+    k_rpn, k_det, k_mask = jax.random.split(key, 3)
+    rpn_chunk = None
+    if with_rpn:
+        rpn_chunk = harvest_rpn(
+            k_rpn, t, anchors, visibility, gt_boxes, gt_valid, hcfg
+        )
+    ar = average_recall(gt_boxes, gt_valid, prop_boxes, prop_valid)
+    all_boxes = jnp.concatenate([gt_boxes, prop_boxes], axis=0)
+    rows_valid = jnp.concatenate([gt_valid, prop_valid], axis=0)
+    det_chunk = harvest_detector(
+        k_det, feats, all_boxes, rows_valid, gt_labels, gt_valid, image_size, hcfg
+    )
+    mask_chunk = None
+    if gt_masks is not None and deconv is not None:
+        mask_chunk = harvest_mask(
+            k_mask, deconv, gt_masks, gt_boxes, gt_labels, gt_valid, hcfg
+        )
+    return HarvestChunk(rpn_chunk, det_chunk, mask_chunk, ar)
+
+
 def harvest_image(
     key: jax.Array,
     params,
@@ -356,47 +441,13 @@ def harvest_image(
     dcfg: DetectorConfig = DetectorConfig(),
     with_rpn: bool = True,
 ) -> HarvestChunk:
-    """One harvesting forward pass. Pure; jit per canvas size."""
-    k_rpn, k_det, k_mask = jax.random.split(key, 3)
-    c4 = resnet.backbone_c4(params["backbone"], image[None])
-    t = rpn_features(params["rpn"], c4)[0]
-
-    rpn_chunk = None
-    if with_rpn:
-        rpn_chunk = harvest_rpn(
-            k_rpn, t, anchors, visibility, gt_boxes, gt_valid, hcfg
-        )
-
-    # proposals: pretrained conv head (propagate_rpn_boxes) or injected
-    # on-line RPN (serial pipeline, ``extract_features_detector.py``)
-    scores, deltas = rpn_scores_deltas(params["rpn"], online_rpn, t)
-    prop_boxes, _, prop_valid = propose(
-        scores, deltas, anchors, image_size,
-        pre_nms_top_n=dcfg.pre_nms_top_n, post_nms_top_n=dcfg.post_nms_top_n,
-        nms_thresh=dcfg.rpn_nms_thresh, min_size=dcfg.rpn_min_size,
+    """One harvesting forward pass (trunk + chunks composed; see
+    harvest_trunk for why the pipeline jits the halves separately)."""
+    t, prop_boxes, prop_valid, feats, deconv = harvest_trunk(
+        params, online_rpn, anchors, image, image_size, gt_boxes, gt_valid,
+        dcfg, with_mask_features=gt_masks is not None,
     )
-    ar = average_recall(gt_boxes, gt_valid, prop_boxes, prop_valid)
-
-    # GT prepended to proposals (``generalized_rcnn_getProposals.py:90-96``)
-    all_boxes = jnp.concatenate([gt_boxes, prop_boxes], axis=0)
-    rows_valid = jnp.concatenate([gt_valid, prop_valid], axis=0)
-
-    pooled = roi_align(
-        c4[0], all_boxes, dcfg.pooler_resolution, dcfg.pooler_resolution,
-        dcfg.pooler_scale,
+    return harvest_chunks(
+        key, t, prop_boxes, prop_valid, feats, deconv, anchors, visibility,
+        image_size, gt_boxes, gt_labels, gt_valid, gt_masks, hcfg, with_rpn,
     )
-    res5 = resnet.res5_feature_map(params["backbone"], pooled)  # [R,7,7,2048]
-    feats = jnp.mean(res5, axis=(1, 2))  # [R, 2048]
-
-    det_chunk = harvest_detector(
-        k_det, feats, all_boxes, rows_valid, gt_labels, gt_valid, image_size, hcfg
-    )
-
-    mask_chunk = None
-    if gt_masks is not None:
-        deconv = mask_deconv(params["mask_head"], res5[: hcfg.gt_cap])
-        mask_chunk = harvest_mask(
-            k_mask, deconv, gt_masks, gt_boxes, gt_labels, gt_valid, hcfg
-        )
-
-    return HarvestChunk(rpn_chunk, det_chunk, mask_chunk, ar)

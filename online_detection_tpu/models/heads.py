@@ -73,15 +73,22 @@ def box_predict(
 
 def mask_deconv(params, x: jax.Array) -> jax.Array:
     """conv5_mask: ConvTranspose2d(2048 -> 256, k=2, s=2) + ReLU.
-    x [R, 7, 7, 2048] -> [R, 14, 14, 256]."""
-    out = jax.lax.conv_transpose(
+    x [R, 7, 7, 2048] -> [R, 14, 14, 256].
+
+    With kernel 2 / stride 2 the transpose conv has no overlap, so it is
+    exactly ``out[n, 2h+a, 2w+b, o] = sum_i x[n,h,w,i] * w[a,b,i,o]`` — one
+    einsum straight onto the MXU (and bit-identical to torch's
+    ConvTranspose2d placement semantics, unlike lax.conv_transpose's
+    unflipped kernel)."""
+    w = params["w"]  # [2, 2, in, out]
+    n, h, wd, _ = x.shape
+    out = jnp.einsum(
+        "nhwi,abio->nhawbo",
         x.astype(jnp.bfloat16),
-        params["w"].astype(jnp.bfloat16),  # [2, 2, 2048, 256] HWIO
-        strides=(2, 2),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        w.astype(jnp.bfloat16),
         preferred_element_type=jnp.float32,
     )
+    out = out.reshape(n, 2 * h, 2 * wd, w.shape[-1])
     return jax.nn.relu(out + params["b"])
 
 

@@ -1,0 +1,199 @@
+"""Checkpoint conversion: Detectron/Caffe2 pkl and maskrcnn-benchmark pth
+-> this framework's parameter tree.
+
+The contract weights are ``catalog://Caffe2Detectron/COCO/35858791/
+e2e_mask_rcnn_R-50-C4_1x`` (``config_feature_extraction_online_rpn_det_segm_
+ycbv.yaml:4``) or iCWT feature-task ``.pth`` checkpoints
+(``config_detector_icwt30.yaml:4``) loaded by ``DetectronCheckpointer``
+(SURVEY.md §5 checkpoint/resume). SURVEY.md flags this converter as the
+highest silent-wrongness risk — hence the dedicated layout tests in
+tests/test_weights.py.
+
+Layout conventions handled here:
+- Caffe2 conv blobs are [O, I, kh, kw] -> HWIO transpose (2, 3, 1, 0).
+- Caffe2 FC blobs are [O, I] -> [I, O].
+- Caffe2 BN blobs are pre-folded affine (_s, _b).
+- torch FrozenBatchNorm2d keeps weight/bias/running_mean/running_var;
+  folding uses scale = weight / sqrt(running_var) (maskrcnn-benchmark's
+  FrozenBatchNorm2d applies no eps), bias' = bias - running_mean * scale.
+- torch ConvTranspose2d weights are [I, O, kh, kw] -> (2, 3, 0, 1).
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Any, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+R50_STAGE_BLOCKS = {"res2": 3, "res3": 4, "res4": 6, "res5": 3}
+
+
+def _conv_c2(w):  # [O,I,kh,kw] -> [kh,kw,I,O]
+    return jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+
+
+def _fc_c2(w):  # [O,I] -> [I,O]
+    return jnp.asarray(np.transpose(w))
+
+
+def load_caffe2_pickle(path: str) -> Dict[str, np.ndarray]:
+    with open(path, "rb") as f:
+        data = pickle.load(f, encoding="latin1")
+    if "blobs" in data:
+        data = data["blobs"]
+    return {k: np.asarray(v) for k, v in data.items() if not k.endswith("_momentum")}
+
+
+def params_from_caffe2(blobs: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """Detectron blob names -> our schema (see resnet.init_resnet50_params,
+    rpn.init_rpn_params, heads.init_mask_head_params)."""
+
+    def conv_bn(prefix_w, prefix_bn):
+        return {
+            "w": _conv_c2(blobs[prefix_w + "_w"]),
+            "scale": jnp.asarray(blobs[prefix_bn + "_s"]),
+            "bias": jnp.asarray(blobs[prefix_bn + "_b"]),
+        }
+
+    backbone: Dict[str, Any] = {
+        "stem": conv_bn("conv1", "res_conv1_bn"),
+    }
+    for stage, n_blocks in R50_STAGE_BLOCKS.items():
+        sid = stage[3]  # '2'..'5'
+        blocks = []
+        for b in range(n_blocks):
+            p = {}
+            for br in ("branch2a", "branch2b", "branch2c"):
+                base = f"res{sid}_{b}_{br}"
+                p[br] = conv_bn(base, base + "_bn")
+            b1 = f"res{sid}_{b}_branch1"
+            if b1 + "_w" in blobs:
+                p["branch1"] = conv_bn(b1, b1 + "_bn")
+            blocks.append(p)
+        backbone[stage] = blocks
+
+    rpn = {
+        "conv_w": _conv_c2(blobs["conv_rpn_w"]),
+        "conv_b": jnp.asarray(blobs["conv_rpn_b"]),
+        "cls_w": _conv_c2(blobs["rpn_cls_logits_w"])[0, 0],  # 1x1 -> [I,A]
+        "cls_b": jnp.asarray(blobs["rpn_cls_logits_b"]),
+        "bbox_w": _conv_c2(blobs["rpn_bbox_pred_w"])[0, 0],
+        "bbox_b": jnp.asarray(blobs["rpn_bbox_pred_b"]),
+    }
+
+    mask_head = {}
+    if "conv5_mask_w" in blobs:
+        # Caffe2 deconv blobs are [I, O, kh, kw]
+        mask_head = {
+            "w": jnp.asarray(np.transpose(blobs["conv5_mask_w"], (2, 3, 0, 1))),
+            "b": jnp.asarray(blobs["conv5_mask_b"]),
+            "logits_w": _conv_c2(blobs["mask_fcn_logits_w"])[0, 0],
+            "logits_b": jnp.asarray(blobs["mask_fcn_logits_b"]),
+        }
+
+    params = {"backbone": backbone, "rpn": rpn, "mask_head": mask_head}
+    # stock box-head predictor (baselines / pretrained inference)
+    if "cls_score_w" in blobs:
+        params["box_predictor"] = {
+            "cls_w": _fc_c2(blobs["cls_score_w"]),
+            "cls_b": jnp.asarray(blobs["cls_score_b"]),
+            "bbox_w": _fc_c2(blobs["bbox_pred_w"]),
+            "bbox_b": jnp.asarray(blobs["bbox_pred_b"]),
+        }
+    return params
+
+
+def params_from_torch_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """maskrcnn-benchmark .pth checkpoints (torch state_dict with
+    ``backbone.body.*`` / ``rpn.head.*`` / ``roi_heads.*`` names)."""
+
+    def t(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+    def conv_t(x):  # [O,I,kh,kw] -> HWIO
+        return jnp.asarray(np.transpose(t(x), (2, 3, 1, 0)))
+
+    def frozen_bn(prefix):
+        w = t(sd[prefix + ".weight"]).astype(np.float64)
+        b = t(sd[prefix + ".bias"]).astype(np.float64)
+        rm = t(sd[prefix + ".running_mean"]).astype(np.float64)
+        rv = t(sd[prefix + ".running_var"]).astype(np.float64)
+        scale = w / np.sqrt(rv)  # FrozenBatchNorm2d: no eps
+        return (
+            jnp.asarray(scale.astype(np.float32)),
+            jnp.asarray((b - rm * scale).astype(np.float32)),
+        )
+
+    def conv_bn(conv_key, bn_key):
+        s, b = frozen_bn(bn_key)
+        return {"w": conv_t(sd[conv_key + ".weight"]), "scale": s, "bias": b}
+
+    backbone: Dict[str, Any] = {
+        "stem": conv_bn("backbone.body.stem.conv1", "backbone.body.stem.bn1")
+    }
+    stage_prefix = {
+        "res2": "backbone.body.layer1",
+        "res3": "backbone.body.layer2",
+        "res4": "backbone.body.layer3",
+        # C4 arch: res5 lives in the box head feature extractor
+        "res5": "roi_heads.box.feature_extractor.head.layer4",
+    }
+    for stage, n_blocks in R50_STAGE_BLOCKS.items():
+        pre = stage_prefix[stage]
+        blocks = []
+        for i in range(n_blocks):
+            p = {
+                "branch2a": conv_bn(f"{pre}.{i}.conv1", f"{pre}.{i}.bn1"),
+                "branch2b": conv_bn(f"{pre}.{i}.conv2", f"{pre}.{i}.bn2"),
+                "branch2c": conv_bn(f"{pre}.{i}.conv3", f"{pre}.{i}.bn3"),
+            }
+            if f"{pre}.{i}.downsample.0.weight" in sd:
+                p["branch1"] = conv_bn(
+                    f"{pre}.{i}.downsample.0", f"{pre}.{i}.downsample.1"
+                )
+            blocks.append(p)
+        backbone[stage] = blocks
+
+    rpn = {
+        "conv_w": conv_t(sd["rpn.head.conv.weight"]),
+        "conv_b": jnp.asarray(t(sd["rpn.head.conv.bias"])),
+        "cls_w": conv_t(sd["rpn.head.cls_logits.weight"])[0, 0],
+        "cls_b": jnp.asarray(t(sd["rpn.head.cls_logits.bias"])),
+        "bbox_w": conv_t(sd["rpn.head.bbox_pred.weight"])[0, 0],
+        "bbox_b": jnp.asarray(t(sd["rpn.head.bbox_pred.bias"])),
+    }
+
+    mask_head = {}
+    if "roi_heads.mask.predictor.conv5_mask.weight" in sd:
+        mask_head = {
+            "w": jnp.asarray(
+                np.transpose(t(sd["roi_heads.mask.predictor.conv5_mask.weight"]), (2, 3, 0, 1))
+            ),
+            "b": jnp.asarray(t(sd["roi_heads.mask.predictor.conv5_mask.bias"])),
+            "logits_w": conv_t(sd["roi_heads.mask.predictor.mask_fcn_logits.weight"])[0, 0],
+            "logits_b": jnp.asarray(t(sd["roi_heads.mask.predictor.mask_fcn_logits.bias"])),
+        }
+
+    params = {"backbone": backbone, "rpn": rpn, "mask_head": mask_head}
+    if "roi_heads.box.predictor.cls_score.weight" in sd:
+        params["box_predictor"] = {
+            "cls_w": jnp.asarray(t(sd["roi_heads.box.predictor.cls_score.weight"]).T),
+            "cls_b": jnp.asarray(t(sd["roi_heads.box.predictor.cls_score.bias"])),
+            "bbox_w": jnp.asarray(t(sd["roi_heads.box.predictor.bbox_pred.weight"]).T),
+            "bbox_b": jnp.asarray(t(sd["roi_heads.box.predictor.bbox_pred.bias"])),
+        }
+    return params
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Dispatch on extension: .pkl (Caffe2 Detectron) or .pth (torch)."""
+    if path.endswith(".pkl"):
+        return params_from_caffe2(load_caffe2_pickle(path))
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k.replace("module.", ""): v for k, v in sd.items()}
+    return params_from_torch_state_dict(sd)

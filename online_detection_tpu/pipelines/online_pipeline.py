@@ -148,12 +148,21 @@ def harvest_dataset(
     ch, cw = canvas_hw
     anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
 
-    jit_harvest = jax.jit(
-        lambda k, p, orpn, a, v, im, sz, gb, gl, gv, gm: harvest_image(
-            k, p, orpn, a, v, im, sz, gb, gl, gv, gm, hcfg, dcfg,
+    # two jit units: conv trunk and sampling stages — one fused program sends
+    # the TPU compiler into a pathological pass (see harvest.harvest_trunk)
+    from online_detection_tpu.engine.harvest import harvest_chunks, harvest_trunk
+
+    jit_trunk = jax.jit(
+        lambda p, orpn, a, im, sz, gb, gv: harvest_trunk(
+            p, orpn, a, im, sz, gb, gv, dcfg,
+            with_mask_features=cfg.with_segmentation,
+        )
+    )
+    jit_chunks = jax.jit(
+        lambda k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm: harvest_chunks(
+            k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm, hcfg,
             with_rpn=cfg.with_rpn,
-        ),
-        static_argnames=(),
+        )
     )
 
     acc = HarvestAccumulator(cfg.num_anchor_classes, cfg.num_classes)
@@ -184,11 +193,14 @@ def harvest_dataset(
         else:
             gm = None
         vis = anchor_visibility(np.asarray(anchors), (sw, sh))
-        chunk = jit_harvest(
-            keys[i], params, online_rpn, anchors, jnp.asarray(vis),
-            jnp.asarray(canvas), jnp.asarray([sw, sh]),
-            jnp.asarray(gb), jnp.asarray(gl), jnp.asarray(gv),
-            jnp.asarray(gm) if gm is not None else None,
+        t_feats, pb, pv, feats, deconv = jit_trunk(
+            params, online_rpn, anchors, jnp.asarray(canvas),
+            jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gv),
+        )
+        chunk = jit_chunks(
+            keys[i], t_feats, pb, pv, feats, deconv, anchors, jnp.asarray(vis),
+            jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
+            jnp.asarray(gv), jnp.asarray(gm) if gm is not None else None,
         )
         acc.add(chunk)
 

@@ -87,8 +87,11 @@ def make_synthetic_icwt(
         make_image(img_id, i % len(classes))
         test_ids.append(img_id)
 
-    with open(os.path.join(root, "ImageSets", "Main", "train.txt"), "w") as f:
-        f.write("\n".join(train_ids) + "\n")
-    with open(os.path.join(root, "ImageSets", "Main", "test.txt"), "w") as f:
-        f.write("\n".join(test_ids) + "\n")
+    for sub in ("Main", ""):
+        d = os.path.join(root, "ImageSets", sub)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "train.txt"), "w") as f:
+            f.write("\n".join(train_ids) + "\n")
+        with open(os.path.join(d, "test.txt"), "w") as f:
+            f.write("\n".join(test_ids) + "\n")
     return root, train_ids, test_ids
