@@ -159,6 +159,84 @@ def detect(
     return dets, mask_probs, prop_boxes, prop_valid
 
 
+def detect_pretrained(
+    params,
+    anchors: jax.Array,
+    image: jax.Array,
+    image_size: jax.Array,
+    cfg: DetectorConfig = DetectorConfig(),
+    with_masks: bool = False,
+    score_thresh: float = 0.05,
+    nms_thresh: float = 0.5,
+):
+    """Stock Mask R-CNN inference (softmax path) for the SGD baselines and
+    checkpoint evaluation (``engine/inference_full_mask.py``,
+    ``box_head/inference.py:12-147``): pretrained RPN proposals -> res5 ->
+    linear cls/bbox predictors -> softmax scores, (10,10,5,5) decode,
+    per-class NMS."""
+    c4 = resnet.backbone_c4(params["backbone"], image[None])
+    t = rpn_features(params["rpn"], c4)[0]
+    scores, deltas = rpn_scores_deltas(params["rpn"], None, t)
+    prop_boxes, _, prop_valid = propose(
+        scores, deltas, anchors, image_size,
+        pre_nms_top_n=cfg.pre_nms_top_n, post_nms_top_n=cfg.post_nms_top_n,
+        nms_thresh=cfg.rpn_nms_thresh, min_size=cfg.rpn_min_size,
+    )
+    feats = extract_box_features(params, c4[0], prop_boxes, cfg)
+    bp = params["box_predictor"]
+    cls_logits = feats @ bp["cls_w"] + bp["cls_b"]
+    box_deltas = feats @ bp["bbox_w"] + bp["bbox_b"]
+    probs = jax.nn.softmax(cls_logits, axis=-1)
+
+    from online_detection_tpu.utils import boxes as box_ops
+
+    refined = box_ops.decode_boxes(
+        box_deltas, prop_boxes, weights=(10.0, 10.0, 5.0, 5.0), clip_exp=True
+    )
+    refined = box_ops.clip_boxes_to_image(refined, image_size)
+    r = probs.shape[0]
+    per_class_boxes = refined.reshape(r, -1, 4).transpose(1, 0, 2)
+    per_class_scores = probs.T
+    keep = (per_class_scores > score_thresh) & prop_valid[None, :]
+    keep = keep.at[0].set(False)
+    from online_detection_tpu.ops.nms import batched_class_nms
+
+    b, s, v, _ = batched_class_nms(
+        per_class_boxes, per_class_scores, keep, nms_thresh, cfg.detections_per_img
+    )
+    flat_scores = jnp.where(v, s, -1e30).reshape(-1)
+    flat_boxes = b.reshape(-1, 4)
+    labels = jnp.broadcast_to(
+        jnp.arange(probs.shape[1], dtype=jnp.int32)[:, None],
+        (probs.shape[1], cfg.detections_per_img),
+    ).reshape(-1)
+    top_scores, idx = jax.lax.top_k(flat_scores, cfg.detections_per_img)
+    out_valid = top_scores > -1e29
+    dets = Detections(
+        boxes=flat_boxes[idx] * out_valid[:, None],
+        scores=jnp.where(out_valid, top_scores, 0.0),
+        labels=jnp.where(out_valid, labels[idx], 0),
+        valid=out_valid,
+    )
+
+    mask_probs = None
+    if with_masks and params.get("mask_head"):
+        from online_detection_tpu.models.heads import (
+            mask_deconv,
+            mask_pretrained_logits,
+        )
+
+        pooled = roi_align(
+            c4[0], dets.boxes, cfg.pooler_resolution, cfg.pooler_resolution,
+            cfg.pooler_scale,
+        )
+        res5 = resnet.res5_feature_map(params["backbone"], pooled)
+        deconv = mask_deconv(params["mask_head"], res5)
+        logits = mask_pretrained_logits(params["mask_head"], deconv)
+        mask_probs = select_mask_channel(logits, dets.labels)
+    return dets, mask_probs, prop_boxes, prop_valid
+
+
 def detect_jit(canvas_hw: Tuple[int, int], cfg: DetectorConfig, with_masks: bool):
     """Build a jitted single-image inference function for a fixed canvas."""
 

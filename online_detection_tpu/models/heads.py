@@ -84,8 +84,8 @@ def mask_deconv(params, x: jax.Array) -> jax.Array:
     n, h, wd, _ = x.shape
     out = jnp.einsum(
         "nhwi,abio->nhawbo",
-        x.astype(jnp.bfloat16),
-        w.astype(jnp.bfloat16),
+        x,
+        w.astype(x.dtype),
         preferred_element_type=jnp.float32,
     )
     out = out.reshape(n, 2 * h, 2 * wd, w.shape[-1])

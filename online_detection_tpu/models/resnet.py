@@ -42,14 +42,16 @@ R50_STAGES = (3, 4, 6, 3)
 STAGE_CHANNELS = ((64, 256), (128, 512), (256, 1024), (512, 2048))
 
 
-def conv(x: jax.Array, w: jax.Array, stride: int = 1, compute_dtype=jnp.bfloat16) -> jax.Array:
+def conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     """2-D conv, NHWC x HWIO -> NHWC, SAME-style explicit padding to mirror
-    torch Conv2d(padding=k//2)."""
+    torch Conv2d(padding=k//2). f32 operands: XLA's default TPU precision
+    already runs the MXU in bfloat16 passes, and keeping one dtype keeps the
+    VJP well-typed for the SGD baselines."""
     k = w.shape[0]
     pad = k // 2
     out = jax.lax.conv_general_dilated(
-        x.astype(compute_dtype),
-        w.astype(compute_dtype),
+        x,
+        w,
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -154,6 +156,9 @@ def init_resnet50_params(key: jax.Array, include_res5: bool = True) -> Params:
                 "branch2b": _conv_bn_params(next(keys), 3, 3, mid, mid),
                 "branch2c": _conv_bn_params(next(keys), 1, 1, mid, cout),
             }
+            # zero-gamma-style damping: without trained BN statistics the
+            # 16 residual adds would grow activations exponentially
+            p["branch2c"]["scale"] = p["branch2c"]["scale"] * 0.1
             if bi == 0:
                 p["branch1"] = _conv_bn_params(next(keys), 1, 1, cin, cout)
             blocks.append(p)

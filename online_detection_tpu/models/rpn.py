@@ -49,8 +49,8 @@ class OnlineRPNModels(NamedTuple):
 def rpn_features(params, c4: jax.Array) -> jax.Array:
     """Shared RPN conv: 3x3 + ReLU, 1024 -> 1024. c4: [N, H, W, 1024]."""
     out = jax.lax.conv_general_dilated(
-        c4.astype(jnp.bfloat16),
-        params["conv_w"].astype(jnp.bfloat16),
+        c4,
+        params["conv_w"].astype(c4.dtype),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -221,6 +221,51 @@ def harvest_dataset(
     return out
 
 
+def train_rpn_module(
+    key: jax.Array,
+    rpn: Dict,
+    cfg: OnlineTrainConfig,
+    output_dir: Optional[str] = None,
+    seed: int = 0,
+) -> OnlineRPNModels:
+    """Stage 2: per-anchor FALKON classifiers + RLS refiners for the O-RPN."""
+    rng = np.random.default_rng(seed)
+    stats_rpn = _head_stats(rpn, rng, cfg.pos_fraction_feat_stats)
+    t0 = time.time()
+    pos, neg = _zscore_pools(rpn, stats_rpn)
+    models = train_classifiers_minibootstrap(
+        key, pos, jnp.asarray(rpn["pos_valid"]),
+        neg, jnp.asarray(rpn["neg_valid"]),
+        MinibootstrapParams(
+            m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
+            hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+        ),
+    )
+    dt = time.time() - t0
+    _write_result(
+        output_dir,
+        "RPN's Online Classifier training time: {}min:{}s \n".format(
+            int(dt / 60), round(dt % 60)
+        ),
+    )
+    # RPN refiners always train on z-scored COXY (run_..._oos.py:114)
+    t0 = time.time()
+    coxy = rpn["coxy"]
+    cx = zscore(jnp.asarray(coxy["X"]), stats_rpn)
+    rls = _fit_rls_per_class(
+        cx, coxy["Y"], coxy["C"], cfg.num_anchor_classes, cfg.rpn_reg_lam,
+        zero_based=True,
+    )
+    dt = time.time() - t0
+    _write_result(
+        output_dir,
+        "RPN's Online Region Refiner training time: {}min:{}s \n".format(
+            int(dt / 60), round(dt % 60)
+        ),
+    )
+    return OnlineRPNModels(falkon=models, rls=rls, stats=stats_rpn)
+
+
 def train_online_modules(
     key: jax.Array,
     harvest: Dict,
@@ -234,41 +279,7 @@ def train_online_modules(
 
     online_rpn = None
     if cfg.with_rpn and "rpn" in harvest:
-        rpn = harvest["rpn"]
-        stats_rpn = _head_stats(rpn, rng, cfg.pos_fraction_feat_stats)
-        t0 = time.time()
-        pos, neg = _zscore_pools(rpn, stats_rpn)
-        models = train_classifiers_minibootstrap(
-            k_rpn, pos, jnp.asarray(rpn["pos_valid"]),
-            neg, jnp.asarray(rpn["neg_valid"]),
-            MinibootstrapParams(
-                m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
-                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
-            ),
-        )
-        dt = time.time() - t0
-        _write_result(
-            output_dir,
-            "RPN's Online Classifier training time: {}min:{}s \n".format(
-                int(dt / 60), round(dt % 60)
-            ),
-        )
-        # RPN refiners always train on z-scored COXY (run_..._oos.py:114)
-        t0 = time.time()
-        coxy = rpn["coxy"]
-        cx = zscore(jnp.asarray(coxy["X"]), stats_rpn)
-        rls = _fit_rls_per_class(
-            cx, coxy["Y"], coxy["C"], cfg.num_anchor_classes, cfg.rpn_reg_lam,
-            zero_based=True,
-        )
-        dt = time.time() - t0
-        _write_result(
-            output_dir,
-            "RPN's Online Region Refiner training time: {}min:{}s \n".format(
-                int(dt / 60), round(dt % 60)
-            ),
-        )
-        online_rpn = OnlineRPNModels(falkon=models, rls=rls, stats=stats_rpn)
+        online_rpn = train_rpn_module(k_rpn, harvest["rpn"], cfg, output_dir, seed)
 
     # ---- detector ----
     det = harvest["det"]

@@ -74,13 +74,19 @@ def encode_boxes(
     (``rpn_getProposals.py:408-454``).
     """
     wx, wy, ww, wh = weights
-    ex_w = proposals[..., 2] - proposals[..., 0] + TO_REMOVE
-    ex_h = proposals[..., 3] - proposals[..., 1] + TO_REMOVE
+    # epsilon guard: degenerate (inverted) boxes only ever appear in masked
+    # padding rows, but an inf/NaN there would still poison gradients
+    ex_w = jnp.maximum(proposals[..., 2] - proposals[..., 0] + TO_REMOVE, 1e-6)
+    ex_h = jnp.maximum(proposals[..., 3] - proposals[..., 1] + TO_REMOVE, 1e-6)
     ex_cx = proposals[..., 0] + 0.5 * ex_w
     ex_cy = proposals[..., 1] + 0.5 * ex_h
 
-    gt_w = reference_boxes[..., 2] - reference_boxes[..., 0] + TO_REMOVE
-    gt_h = reference_boxes[..., 3] - reference_boxes[..., 1] + TO_REMOVE
+    gt_w = jnp.maximum(
+        reference_boxes[..., 2] - reference_boxes[..., 0] + TO_REMOVE, 1e-6
+    )
+    gt_h = jnp.maximum(
+        reference_boxes[..., 3] - reference_boxes[..., 1] + TO_REMOVE, 1e-6
+    )
     gt_cx = reference_boxes[..., 0] + 0.5 * gt_w
     gt_cy = reference_boxes[..., 1] + 0.5 * gt_h
 

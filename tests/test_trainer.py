@@ -1,0 +1,82 @@
+"""SGD baseline trainer tests: losses are finite, gradients flow, freeze
+masks hold, and a few steps on the synthetic dataset reduce the loss."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+from online_detection_tpu.engine import losses
+from online_detection_tpu.engine.trainer import (
+    SGDConfig,
+    do_train,
+    freeze_mask,
+    parse_time_budget,
+)
+from online_detection_tpu.models.detector import init_detector_params
+from tests.fixtures import make_synthetic_icwt
+
+
+def test_parse_time_budget():
+    assert parse_time_budget("1h:30m:15s") == 5415
+    assert parse_time_budget(None) is None
+
+
+def test_balanced_sample(rng):
+    labels = jnp.asarray(np.concatenate([np.ones(10), np.zeros(50), -np.ones(5)]))
+    pos, neg = losses.balanced_sample(jax.random.key(0), labels, 16, 0.5)
+    assert int(pos.sum()) == 8 and int(neg.sum()) == 8
+    assert bool((labels[pos] == 1).all()) and bool((labels[neg] == 0).all())
+
+
+def test_match_boxes_low_quality(rng):
+    iou = jnp.asarray([[0.4, 0.1, 0.0], [0.2, 0.65, 0.0]])
+    arg, labels = losses.match_boxes(iou, 0.7, 0.3, allow_low_quality=True)
+    # col0: best gt 0 (0.4, between) but is gt0's argmax -> rescued fg
+    # col1: best gt 1 (0.65, between) and gt1's argmax -> rescued fg
+    # col2: 0 iou -> bg
+    assert labels.tolist() == [1, 1, 0]
+    assert arg.tolist()[:2] == [0, 1]
+
+
+def test_freeze_mask_groups():
+    params = init_detector_params(jax.random.key(0), 15, 5)
+    params["box_predictor"] = {"cls_w": jnp.zeros((2048, 5))}
+    cfg = SGDConfig(freeze_backbone=True, freeze_rpn_except_logits=True)
+    gm = freeze_mask(params, cfg)
+    assert float(gm["backbone"]["stem"]["w"]) == 0.0
+    assert float(gm["backbone"]["res2"][0]["branch2a"]["w"]) == 0.0
+    assert float(gm["backbone"]["res5"][0]["branch2a"]["w"]) == 1.0  # res5 = head
+    assert float(gm["rpn"]["conv_w"]) == 0.0
+    assert float(gm["rpn"]["cls_w"]) == 1.0  # logits trainable
+    assert float(gm["box_predictor"]["cls_w"]) == 1.0
+
+
+def test_sgd_steps_reduce_loss(tmp_path, rng):
+    root = str(tmp_path / "ycbv_synth")
+    make_synthetic_icwt(root, n_train=4, n_test=1)
+    ds = ICubWorldDataset(root, "Main", "train")
+    params = init_detector_params(jax.random.key(0), 15, 20)
+    params["box_predictor"] = {
+        "cls_w": jnp.asarray(rng.normal(0, 0.01, (2048, 20)).astype(np.float32)),
+        "cls_b": jnp.zeros((20,)),
+        "bbox_w": jnp.asarray(rng.normal(0, 0.001, (2048, 80)).astype(np.float32)),
+        "bbox_b": jnp.zeros((80,)),
+    }
+    cfg = SGDConfig(
+        base_lr=0.005, max_iter=8, warmup_iters=0, post_nms_train=30, roi_batch=32,
+        freeze_backbone=True,
+    )
+    params2, hist = do_train(
+        params, ds, (128, 192), cfg, jax.random.key(1),
+        with_mask=True, min_size=128, max_size=320, log_every=100,
+    )
+    assert len(hist) == 8
+    assert all(np.isfinite(hist))
+    # loss should drop over a few steps on 4 repeated images
+    assert np.mean(hist[-2:]) < np.mean(hist[:2])
+    # frozen backbone untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["backbone"]["stem"]["w"]),
+        np.asarray(params2["backbone"]["stem"]["w"]),
+    )
