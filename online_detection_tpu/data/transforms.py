@@ -69,6 +69,40 @@ def preprocess_image(
     return canvas, s, (sw, sh)
 
 
+def preprocess_image_u8(
+    rgb: np.ndarray,  # [H, W, 3] uint8 RGB
+    canvas_hw: Tuple[int, int],
+    min_size: int = 600,
+    max_size: int = 1333,
+):
+    """uint8 variant: resize + pad only; BGR/mean-subtraction happens on
+    device (``normalize_canvas``). A uint8 canvas is 4x smaller on the
+    host->device link — that link is the throughput ceiling on tunneled
+    dev chips and non-negligible even on PCIe."""
+    h, w = rgb.shape[:2]
+    s = resize_scale(w, h, min_size, max_size)
+    sw, sh = int(round(w * s)), int(round(h * s))
+    if (sw, sh) != (w, h):
+        import PIL.Image as PILImage
+
+        rgb = np.asarray(PILImage.fromarray(rgb).resize((sw, sh), PILImage.BILINEAR))
+    ch, cw = canvas_hw
+    canvas = np.zeros((ch, cw, 3), np.uint8)
+    canvas[: min(sh, ch), : min(sw, cw)] = rgb[:ch, :cw]
+    return canvas, s, (sw, sh)
+
+
+def normalize_canvas(canvas):
+    """Device-side half of preprocessing: uint8 RGB -> f32 BGR minus pixel
+    means. Accepts f32 input unchanged (already normalized host-side)."""
+    import jax.numpy as jnp
+
+    if canvas.dtype == jnp.uint8:
+        bgr = canvas[..., ::-1].astype(jnp.float32)
+        return bgr - jnp.asarray(PIXEL_MEAN_BGR)
+    return canvas
+
+
 def scale_boxes(boxes: np.ndarray, scale: float) -> np.ndarray:
     """BoxList.resize semantics for uniform scaling: plain coordinate scale."""
     return boxes * scale

@@ -1,0 +1,262 @@
+"""Device-resident reservoir accumulation: the zero-host-roundtrip harvest.
+
+The host accumulator (engine/accumulate.py) pulls every per-image chunk to
+NumPy — fine on PCIe hosts, but per-image device->host transfers are the
+throughput ceiling on tunneled dev chips and dead weight everywhere. This
+module keeps the reservoirs in HBM:
+
+- fixed-capacity pools per head (positives / negatives / COXY / mask pixels)
+  as jitted scan state;
+- per-image chunks are appended with the masked-append pattern: chunk rows
+  arrive valid-first (masked_sample/compact guarantee it), so a
+  dynamic-update-slice at the running count writes the valid rows
+  contiguously and the invalid tail lands in scratch space that the next
+  append overwrites;
+- ``finalize`` shuffles + splits the negative pools into the [C, I, B, d]
+  minibootstrap batches ON DEVICE (random-priority argsort) and computes the
+  z-scoring statistics ON DEVICE, so the features feed straight into the
+  solvers without ever visiting the host — the north-star "never round-trips
+  to host" loop (BASELINE.md).
+
+Capacities: negatives need ``B * I`` rows per class (the reference's exact
+cap); positives/COXY are configurable (defaults sized for the flagship runs).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from online_detection_tpu.engine.harvest import DetChunk, HarvestChunk, MaskChunk, RPNChunk
+from online_detection_tpu.utils.stats import FeatureStats
+
+
+class Pool(NamedTuple):
+    """[C, cap, d] rows + per-class counts."""
+
+    rows: jax.Array
+    counts: jax.Array  # [C] int32
+
+    @staticmethod
+    def make(c: int, cap: int, d: int, extra: int) -> "Pool":
+        # extra scratch rows so a full-size append at count == cap-ish never
+        # writes out of bounds (offset is clamped; tail rows are scratch)
+        return Pool(
+            rows=jnp.zeros((c, cap + extra, d), jnp.float32),
+            counts=jnp.zeros((c,), jnp.int32),
+        )
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[1]
+
+    def valid_mask(self, cap: Optional[int] = None) -> jax.Array:
+        cap = cap or self.capacity
+        return jnp.arange(cap)[None, :] < self.counts[:, None]
+
+
+def _append(pool: Pool, chunk_rows: jax.Array, chunk_valid: jax.Array) -> Pool:
+    """Masked append, vmapped over the class axis.
+
+    chunk_rows: [C, L, d] valid-first; chunk_valid: [C, L].
+    """
+    cap = pool.capacity
+    l = chunk_rows.shape[1]
+
+    def one(rows, count, ch, chv):
+        n_new = jnp.sum(chv).astype(jnp.int32)
+        offset = jnp.clip(count, 0, cap - l)
+        rows = jax.lax.dynamic_update_slice(rows, ch, (offset, 0))
+        return rows, jnp.minimum(count + n_new, cap - l)
+
+    rows, counts = jax.vmap(one)(pool.rows, pool.counts, chunk_rows, chunk_valid)
+    return Pool(rows, counts)
+
+
+class DeviceReservoirs(NamedTuple):
+    rpn_neg: Optional[Pool]
+    rpn_pos: Optional[Pool]
+    rpn_coxy_y: Optional[Pool]  # aligned with rpn_pos rows
+    det_neg: Pool
+    det_pos: Pool  # [C, cap, 2048] GT-row features routed by label
+    det_coxy: Pool  # single "class": [1, cap, 2048 + 4 + 1] packed (x, y, c)
+    mask_pos: Optional[Pool]
+    mask_neg: Optional[Pool]
+    ar_sum: jax.Array
+    n_images: jax.Array
+
+
+def init_reservoirs(
+    num_anchor_classes: int,
+    num_classes: int,
+    neg_cap: int,
+    rpn_pos_cap: int = 4096,
+    det_pos_cap: int = 4096,
+    coxy_cap: int = 30000,
+    mask_cap: int = 40000,
+    chunk_sizes: Dict[str, int] = None,
+    with_rpn: bool = True,
+    with_mask: bool = True,
+    rpn_dim: int = 1024,
+    det_dim: int = 2048,
+    mask_dim: int = 256,
+) -> DeviceReservoirs:
+    cs = chunk_sizes or {}
+    npick = cs.get("npick", 64)
+    ppos = cs.get("rpn_pos", 64)
+    gcap = cs.get("gt_cap", 20)
+    ccap = cs.get("coxy", 256)
+    pix = cs.get("mask_pix", 64)
+    return DeviceReservoirs(
+        rpn_neg=Pool.make(num_anchor_classes, neg_cap, rpn_dim, npick) if with_rpn else None,
+        rpn_pos=Pool.make(num_anchor_classes, rpn_pos_cap, rpn_dim, ppos) if with_rpn else None,
+        rpn_coxy_y=Pool.make(num_anchor_classes, rpn_pos_cap, 4, ppos) if with_rpn else None,
+        det_neg=Pool.make(num_classes, neg_cap, det_dim, npick),
+        det_pos=Pool.make(num_classes, det_pos_cap, det_dim, gcap),
+        det_coxy=Pool.make(1, coxy_cap, det_dim + 5, ccap),
+        mask_pos=Pool.make(num_classes, mask_cap, mask_dim, gcap * pix) if with_mask else None,
+        mask_neg=Pool.make(num_classes, mask_cap, mask_dim, gcap * pix) if with_mask else None,
+        ar_sum=jnp.zeros(()),
+        n_images=jnp.zeros((), jnp.int32),
+    )
+
+
+def _route_by_class(rows, labels, valid, num_classes):
+    """[G, d] rows with 1-based labels -> per-class valid-first chunks
+    [C, G, d] (+valid)."""
+    g = rows.shape[0]
+
+    def per_class(c):
+        m = valid & (labels == c + 1)
+        cnt = jnp.sum(m)
+        order = jnp.argsort(~m, stable=True)
+        return rows[order], jnp.arange(g) < cnt
+
+    out_rows, out_valid = jax.vmap(per_class)(jnp.arange(num_classes))
+    return out_rows, out_valid
+
+
+def accumulate(state: DeviceReservoirs, chunk: HarvestChunk, num_classes: int) -> DeviceReservoirs:
+    """Jitted per-image fold."""
+    upd = {}
+    if chunk.rpn is not None and state.rpn_neg is not None:
+        r: RPNChunk = chunk.rpn
+        upd["rpn_neg"] = _append(state.rpn_neg, r.neg, r.neg_valid)
+        upd["rpn_pos"] = _append(state.rpn_pos, r.pos, r.pos_valid)
+        upd["rpn_coxy_y"] = _append(state.rpn_coxy_y, r.coxy_y, r.pos_valid)
+    d: DetChunk = chunk.det
+    upd["det_neg"] = _append(state.det_neg, d.neg, d.neg_valid)
+    pos_rows, pos_valid = _route_by_class(d.pos, d.pos_labels, d.pos_valid, num_classes)
+    upd["det_pos"] = _append(state.det_pos, pos_rows, pos_valid)
+    packed = jnp.concatenate(
+        [d.coxy_x, d.coxy_y, d.coxy_c[:, None]], axis=1
+    )[None]  # [1, L, d+5]
+    upd["det_coxy"] = _append(state.det_coxy, packed, d.coxy_valid[None])
+    if chunk.mask is not None and state.mask_pos is not None:
+        m: MaskChunk = chunk.mask
+        g, pix, md = m.pos.shape
+        # flatten (gt, pixel) then route by the gt's class
+        labels = jnp.repeat(m.labels, pix)
+        pos_rows, pos_valid = _route_by_class(
+            m.pos.reshape(g * pix, md), labels,
+            m.pos_valid.reshape(-1), num_classes,
+        )
+        upd["mask_pos"] = _append(state.mask_pos, pos_rows, pos_valid)
+        neg_rows, neg_valid = _route_by_class(
+            m.neg.reshape(g * pix, md), labels,
+            m.neg_valid.reshape(-1), num_classes,
+        )
+        upd["mask_neg"] = _append(state.mask_neg, neg_rows, neg_valid)
+    upd["ar_sum"] = state.ar_sum + chunk.average_recall
+    upd["n_images"] = state.n_images + 1
+    return state._replace(**upd)
+
+
+def shuffle_split(key: jax.Array, pool: Pool, iterations: int, batch_size: int):
+    """Negative pool -> shuffled [C, I, B, d] batches + validity, on device
+    (``py_od_utils.shuffle_negatives`` semantics)."""
+    c, cap, d = pool.rows.shape
+    take = iterations * batch_size
+
+    def per_class(k, rows, count):
+        pri = jax.random.uniform(k, (cap,)) + (jnp.arange(cap) >= count) * 1e9
+        order = jnp.argsort(pri)
+        idx = order[jnp.minimum(jnp.arange(take), cap - 1)]
+        valid = jnp.arange(take) < jnp.minimum(count, take)
+        return rows[idx].reshape(iterations, batch_size, d), valid.reshape(
+            iterations, batch_size
+        )
+
+    keys = jax.random.split(key, c)
+    return jax.vmap(per_class)(keys, pool.rows, pool.counts)
+
+
+def arrival_split(pool: Pool, iterations: int, batch_size: int):
+    """Arrival-order split (segmentation pools, SEGMENTATION.BATCH_SIZE)."""
+    c, cap, d = pool.rows.shape
+    take = iterations * batch_size
+    idx = jnp.minimum(jnp.arange(take), cap - 1)
+    rows = pool.rows[:, idx].reshape(c, iterations, batch_size, d)
+    valid = (jnp.arange(take)[None] < pool.counts[:, None]).reshape(
+        c, iterations, batch_size
+    )
+    return rows, valid
+
+
+def device_feature_stats(
+    key: jax.Array,
+    pos: Pool,
+    neg_rows: jax.Array,  # [C, I, B, d] batched negatives
+    neg_valid: jax.Array,
+    num_samples: int = 4000,
+    pos_fraction: float = 0.8,
+) -> FeatureStats:
+    """On-device port of ``computeFeatStatistics_torch`` (sample-with-
+    replacement per class / per negative batch, masked mean/std/mean-norm)."""
+    from online_detection_tpu.engine.harvest import masked_sample
+
+    c = pos.rows.shape[0]
+    n_batches = neg_rows.shape[1]
+    take_pos = math.ceil((num_samples / c) * pos_fraction)
+    take_neg = math.ceil((num_samples / c) * (1 - pos_fraction) / max(n_batches, 1))
+
+    kp, kn = jax.random.split(key)
+
+    def pos_cls(k, rows, count):
+        idx, valid = masked_sample(
+            k, jnp.arange(rows.shape[0]) < count, take_pos
+        )
+        return rows[idx], valid
+
+    p_rows, p_valid = jax.vmap(pos_cls)(
+        jax.random.split(kp, c), pos.rows, pos.counts
+    )
+
+    def neg_cls(k, rows, valid):
+        def per_batch(kb, rb, vb):
+            idx, v = masked_sample(kb, vb, take_neg)
+            return rb[idx], v
+
+        return jax.vmap(per_batch)(jax.random.split(k, n_batches), rows, valid)
+
+    n_rows, n_valid = jax.vmap(neg_cls)(
+        jax.random.split(kn, c), neg_rows, neg_valid
+    )
+
+    d = pos.rows.shape[-1]
+    all_rows = jnp.concatenate(
+        [p_rows.reshape(-1, d), n_rows.reshape(-1, d)], axis=0
+    )
+    all_valid = jnp.concatenate([p_valid.reshape(-1), n_valid.reshape(-1)])
+    w = all_valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(all_rows * w[:, None], axis=0) / n
+    var = jnp.sum(((all_rows - mean) ** 2) * w[:, None], axis=0) / jnp.maximum(
+        n - 1.0, 1.0
+    )
+    norms = jnp.linalg.norm(all_rows, axis=1)
+    mean_norm = jnp.sum(norms * w) / n
+    return FeatureStats(mean=mean, std=jnp.sqrt(var), mean_norm=mean_norm)

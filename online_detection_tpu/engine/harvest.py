@@ -359,6 +359,9 @@ def harvest_trunk(
     into one program sends the TPU compiler into a pathological fusion search
     (hours), while the two halves compile in seconds each.
     """
+    from online_detection_tpu.data.transforms import normalize_canvas
+
+    image = normalize_canvas(image)
     c4 = resnet.backbone_c4(params["backbone"], image[None])
     t = rpn_features(params["rpn"], c4)[0]
 

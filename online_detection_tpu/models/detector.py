@@ -116,6 +116,9 @@ def detect(
     Returns (detections, mask_probs [D,14,14] or None,
              proposals [post_nms,4], proposals_valid).
     """
+    from online_detection_tpu.data.transforms import normalize_canvas
+
+    image = normalize_canvas(image)
     c4 = resnet.backbone_c4(params["backbone"], image[None])  # [1,h,w,1024]
     t = rpn_features(params["rpn"], c4)[0]  # [h,w,1024]
     scores, deltas = rpn_scores_deltas(params["rpn"], online.rpn, t)
@@ -174,6 +177,9 @@ def detect_pretrained(
     ``box_head/inference.py:12-147``): pretrained RPN proposals -> res5 ->
     linear cls/bbox predictors -> softmax scores, (10,10,5,5) decode,
     per-class NMS."""
+    from online_detection_tpu.data.transforms import normalize_canvas
+
+    image = normalize_canvas(image)
     c4 = resnet.backbone_c4(params["backbone"], image[None])
     t = rpn_features(params["rpn"], c4)[0]
     scores, deltas = rpn_scores_deltas(params["rpn"], None, t)

@@ -1,0 +1,314 @@
+"""The zero-roundtrip pipeline: harvest, accumulate, and train fully on-device.
+
+Composition of engine/harvest (trunk+chunks jits), engine/device_accumulate
+(HBM reservoirs), and the solvers — per image only a uint8 canvas and a few
+KB of GT metadata cross the host->device link, and only the trained models
+come back. This is the BASELINE.md north-star loop ("minibootstrap ...
+fused on-chip so the full on-line learning loop never round-trips to host").
+
+The host pipeline (pipelines/online_pipeline.py) remains the reference-
+compatible path for feature save/load and CPU debugging.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from online_detection_tpu.data import transforms
+from online_detection_tpu.engine import device_accumulate as dacc
+from online_detection_tpu.engine.harvest import (
+    HarvestConfig,
+    harvest_chunks,
+    harvest_trunk,
+)
+from online_detection_tpu.models.anchors import anchor_visibility, grid_anchors
+from online_detection_tpu.models.detector import DetectorConfig, OnlineModelSet
+from online_detection_tpu.models.heads import OnlineDetectorModels, OnlineMaskModels
+from online_detection_tpu.models.rpn import OnlineRPNModels
+from online_detection_tpu.pipelines.online_pipeline import (
+    OnlineTrainConfig,
+    _write_result,
+)
+from online_detection_tpu.solvers.minibootstrap import (
+    MinibootstrapParams,
+    train_classifiers_minibootstrap,
+)
+from online_detection_tpu.solvers.rls import rls_fit_grouped
+from online_detection_tpu.utils.stats import zscore
+
+
+def harvest_dataset_device(
+    key: jax.Array,
+    params,
+    dataset,
+    cfg: OnlineTrainConfig,
+    canvas_hw: Tuple[int, int],
+    online_rpn: Optional[OnlineRPNModels] = None,
+    dcfg: DetectorConfig = DetectorConfig(),
+    gt_cap: int = 20,
+    output_dir: Optional[str] = None,
+    min_size: int = 600,
+    max_size: int = 1333,
+) -> Tuple[dacc.DeviceReservoirs, Dict]:
+    """Streaming pass with HBM reservoirs. Returns (reservoirs, meta)."""
+    t0 = time.time()
+    n_images = len(dataset)
+    npick = int(np.ceil(cfg.batch_size * cfg.iterations / max(n_images, 1)))
+    hcfg = HarvestConfig(
+        num_anchor_classes=cfg.num_anchor_classes,
+        num_classes=cfg.num_classes,
+        negatives_to_pick=npick,
+        gt_cap=gt_cap,
+    )
+    ch, cw = canvas_hw
+    anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
+    neg_cap = cfg.batch_size * cfg.iterations
+
+    state = dacc.init_reservoirs(
+        cfg.num_anchor_classes, cfg.num_classes, neg_cap,
+        mask_cap=cfg.segm_batch_size * 2,
+        chunk_sizes={
+            "npick": npick, "rpn_pos": hcfg.rpn_pos_cap, "gt_cap": gt_cap,
+            "coxy": hcfg.coxy_cap, "mask_pix": hcfg.mask_pix_cap,
+        },
+        with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
+    )
+
+    jit_trunk = jax.jit(
+        lambda p, orpn, a, im, sz, gb, gv: harvest_trunk(
+            p, orpn, a, im, sz, gb, gv, dcfg,
+            with_mask_features=cfg.with_segmentation,
+        )
+    )
+    jit_chunks = jax.jit(
+        lambda k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm: harvest_chunks(
+            k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm, hcfg,
+            with_rpn=cfg.with_rpn,
+        )
+    )
+    jit_acc = jax.jit(
+        lambda s, c: dacc.accumulate(s, c, cfg.num_classes), donate_argnums=(0,)
+    )
+
+    keys = jax.random.split(key, n_images)
+    for i in range(n_images):
+        anno = dataset.get_annotation(i)
+        rgb = dataset.load_image(i)
+        canvas, scale, (sw, sh) = transforms.preprocess_image_u8(
+            rgb, canvas_hw, min_size, max_size
+        )
+        boxes = transforms.scale_boxes(anno.boxes, scale)
+        g = len(boxes)
+        gb = np.zeros((gt_cap, 4), np.float32)
+        gb[:g] = boxes[:gt_cap]
+        gl = np.zeros((gt_cap,), np.int32)
+        gl[:g] = anno.labels[:gt_cap]
+        gv = np.arange(gt_cap) < g
+        gm = None
+        if cfg.with_segmentation:
+            # original-resolution uint8 masks; projected on device against
+            # canvas-scaled boxes via the separable sampler (the reference's
+            # flagged CPU bottleneck, done on-chip)
+            masks = dataset.load_masks(i, anno)
+            gm = np.zeros((gt_cap, ch, cw), np.float32)
+            for j in range(min(g, gt_cap)):
+                ys = np.clip((np.arange(ch) / scale).astype(int), 0, masks.shape[1] - 1)
+                xs = np.clip((np.arange(cw) / scale).astype(int), 0, masks.shape[2] - 1)
+                gm[j] = masks[j][np.ix_(ys, xs)] * (
+                    (np.arange(ch)[:, None] < sh) & (np.arange(cw)[None, :] < sw)
+                )
+            gm = jnp.asarray(gm)
+        vis = anchor_visibility(np.asarray(anchors), (sw, sh))
+        tr = jit_trunk(
+            params, online_rpn, anchors, jnp.asarray(canvas),
+            jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gv),
+        )
+        chunk = jit_chunks(
+            keys[i], *tr, anchors, jnp.asarray(vis), jnp.asarray([sw, sh]),
+            jnp.asarray(gb), jnp.asarray(gl), jnp.asarray(gv), gm,
+        )
+        state = jit_acc(state, chunk)
+
+    dt = time.time() - t0
+    _write_result(
+        output_dir,
+        "Detector's features extracted in: {}min:{}s \n".format(
+            int(dt / 60), round(dt % 60)
+        ),
+    )
+    meta = {
+        "extraction_time": dt,
+        "average_recall": float(state.ar_sum / jnp.maximum(state.n_images, 1)),
+    }
+    return state, meta
+
+
+def train_online_modules_device(
+    key: jax.Array,
+    state: dacc.DeviceReservoirs,
+    cfg: OnlineTrainConfig,
+    output_dir: Optional[str] = None,
+) -> OnlineModelSet:
+    """Solver stages straight from the HBM reservoirs."""
+    k_shuf, k_stats, k_rpn, k_det, k_seg = jax.random.split(key, 5)
+
+    online_rpn = None
+    if cfg.with_rpn and state.rpn_neg is not None:
+        neg, neg_valid = dacc.shuffle_split(
+            jax.random.fold_in(k_shuf, 0), state.rpn_neg, cfg.iterations,
+            cfg.batch_size,
+        )
+        pos = state.rpn_pos.rows
+        pos_valid = state.rpn_pos.valid_mask()
+        stats_rpn = dacc.device_feature_stats(
+            jax.random.fold_in(k_stats, 0), state.rpn_pos, neg, neg_valid,
+            pos_fraction=cfg.pos_fraction_feat_stats,
+        )
+        t0 = time.time()
+        models = train_classifiers_minibootstrap(
+            k_rpn,
+            zscore(pos, stats_rpn) * pos_valid[..., None], pos_valid,
+            zscore(neg, stats_rpn) * neg_valid[..., None], neg_valid,
+            MinibootstrapParams(
+                m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
+                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+            ),
+        )
+        _write_result(
+            output_dir,
+            "RPN's Online Classifier training time: {}min:{}s \n".format(
+                int((time.time() - t0) / 60), round((time.time() - t0) % 60)
+            ),
+        )
+        # RPN COXY: positives' aligned targets; class = anchor index (0-based)
+        t0 = time.time()
+        a_cls = pos.shape[0]
+        cls1 = jnp.broadcast_to(
+            jnp.arange(1, a_cls + 1)[:, None], pos_valid.shape
+        ).reshape(-1)
+        rls = rls_fit_grouped(
+            zscore(pos, stats_rpn).reshape(-1, pos.shape[-1]),
+            state.rpn_coxy_y.rows.reshape(-1, 4),
+            cls1,
+            pos_valid.reshape(-1).astype(jnp.float32),
+            a_cls,
+            cfg.rpn_reg_lam,
+        )
+        _write_result(
+            output_dir,
+            "RPN's Online Region Refiner training time: {}min:{}s \n".format(
+                int((time.time() - t0) / 60), round((time.time() - t0) % 60)
+            ),
+        )
+        online_rpn = OnlineRPNModels(falkon=models, rls=rls, stats=stats_rpn)
+
+    # ---- detector ----
+    packed = state.det_coxy.rows[0]  # [cap, d+5]
+    d = packed.shape[1] - 5
+    coxy_x = packed[:, :d]
+    coxy_y = packed[:, d : d + 4]
+    coxy_c = packed[:, d + 4]
+    coxy_valid = state.det_coxy.valid_mask()[0]
+
+    if cfg.use_only_gt_positives_detection:
+        det_pos_pool = state.det_pos
+        pos = det_pos_pool.rows
+        pos_valid = det_pos_pool.valid_mask()
+    else:
+        # positives from COXY rows, grouped by class on device
+        from online_detection_tpu.engine.harvest import compact
+
+        cap_per_class = state.det_pos.rows.shape[1]
+
+        def per_class(c):
+            m = coxy_valid & (coxy_c.astype(jnp.int32) == c + 1)
+            idx, valid = compact(m, cap_per_class)
+            return coxy_x[idx], valid
+
+        pos, pos_valid = jax.vmap(per_class)(jnp.arange(cfg.num_classes))
+        det_pos_pool = dacc.Pool(
+            rows=pos, counts=jnp.sum(pos_valid, axis=1).astype(jnp.int32)
+        )
+
+    neg, neg_valid = dacc.shuffle_split(
+        jax.random.fold_in(k_shuf, 1), state.det_neg, cfg.iterations,
+        cfg.batch_size,
+    )
+    stats_det = dacc.device_feature_stats(
+        jax.random.fold_in(k_stats, 1), det_pos_pool, neg, neg_valid,
+        pos_fraction=cfg.pos_fraction_feat_stats,
+    )
+
+    t0 = time.time()
+    reg_x = zscore(coxy_x, stats_det) if cfg.normalize_features_regressor_detector else coxy_x
+    det_rls = rls_fit_grouped(
+        reg_x, coxy_y, coxy_c, coxy_valid.astype(jnp.float32),
+        cfg.num_classes, cfg.det_reg_lam,
+    )
+    _write_result(
+        output_dir,
+        "Detector's Online Region Refiner training time: {}min:{}s \n \n".format(
+            int((time.time() - t0) / 60), round((time.time() - t0) % 60)
+        ),
+    )
+
+    t0 = time.time()
+    det_falkon = train_classifiers_minibootstrap(
+        k_det,
+        zscore(pos, stats_det) * pos_valid[..., None], pos_valid,
+        zscore(neg, stats_det) * neg_valid[..., None], neg_valid,
+        MinibootstrapParams(
+            m=cfg.det_m, sigma=cfg.det_sigma, lam=cfg.det_lam,
+            hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+        ),
+    )
+    _write_result(
+        output_dir,
+        "Detector's Online Classifier training time: {}min:{}s \n".format(
+            int((time.time() - t0) / 60), round((time.time() - t0) % 60)
+        ),
+    )
+    online_det = OnlineDetectorModels(falkon=det_falkon, rls=det_rls, stats=stats_det)
+
+    # ---- segmentation ----
+    online_mask = None
+    if cfg.with_segmentation and state.mask_pos is not None:
+        seg_iters = max(
+            1,
+            int(np.ceil(state.mask_pos.rows.shape[1] / cfg.segm_batch_size)),
+        )
+        pos_rows, pos_valid = dacc.arrival_split(state.mask_pos, 1, state.mask_pos.rows.shape[1])
+        pos_rows = pos_rows[:, 0]
+        pos_valid = pos_valid[:, 0]
+        neg_rows, neg_valid = dacc.arrival_split(
+            state.mask_neg, seg_iters, cfg.segm_batch_size
+        )
+        seg_pool = dacc.Pool(rows=pos_rows, counts=state.mask_pos.counts)
+        stats_seg = dacc.device_feature_stats(
+            jax.random.fold_in(k_stats, 2), seg_pool, neg_rows, neg_valid,
+            pos_fraction=cfg.pos_fraction_feat_stats,
+        )
+        t0 = time.time()
+        seg_falkon = train_classifiers_minibootstrap(
+            k_seg,
+            zscore(pos_rows, stats_seg) * pos_valid[..., None], pos_valid,
+            zscore(neg_rows, stats_seg) * neg_valid[..., None], neg_valid,
+            MinibootstrapParams(
+                m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
+                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+            ),
+        )
+        _write_result(
+            output_dir,
+            "Online Segmentation training time: {}min:{}s \n".format(
+                int((time.time() - t0) / 60), round((time.time() - t0) % 60)
+            ),
+        )
+        online_mask = OnlineMaskModels(falkon=seg_falkon, stats=stats_seg)
+
+    return OnlineModelSet(rpn=online_rpn, detector=online_det, mask=online_mask)

@@ -87,7 +87,12 @@ def rls_fit(
     lam: float,
 ) -> RLSModel:
     """Fit all C per-class refiners. Device Gram pass + host f64 solves."""
-    g, b, sum_y, yty, n = jax.device_get(_gram_stats(x, y, w))
+    stats = jax.device_get(_gram_stats(x, y, w))
+    return _solve_from_stats(*stats, lam)
+
+
+def _solve_from_stats(g, b, sum_y, yty, n, lam) -> RLSModel:
+    """Host f64 whitening + ridge solves from the per-class Gram stats."""
     g = g.astype(np.float64)
     b = b.astype(np.float64)
     c, dp1 = g.shape[0], g.shape[1]
@@ -138,6 +143,47 @@ def rls_fit(
         exists=jnp.asarray(exists),
         mean_losses=jnp.asarray(mean_losses, jnp.float32),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def _gram_stats_grouped(x: jax.Array, y: jax.Array, cls1: jax.Array, w: jax.Array,
+                        num_classes: int):
+    """Per-class Gram stats from a SHARED row buffer: x [N, d], y [N, 4],
+    cls1 [N] 1-based labels, w [N] validity. One one-hot-weighted einsum per
+    statistic — keeps the class grouping on device (no [C, N, d] blow-up)."""
+    onehot = jax.nn.one_hot(cls1.astype(jnp.int32) - 1, num_classes, dtype=jnp.float32)
+    wc = onehot * w[:, None]  # [N, C]
+    n = jnp.sum(wc, axis=0)  # [C]
+    g_xx = jnp.einsum("nc,nd,ne->cde", wc, x, x, preferred_element_type=jnp.float32)
+    sum_x = jnp.einsum("nc,nd->cd", wc, x, preferred_element_type=jnp.float32)
+    d = x.shape[1]
+    c = num_classes
+    g = jnp.zeros((c, d + 1, d + 1), jnp.float32)
+    g = g.at[:, :d, :d].set(g_xx)
+    g = g.at[:, :d, d].set(sum_x)
+    g = g.at[:, d, :d].set(sum_x)
+    g = g.at[:, d, d].set(n)
+    b_xy = jnp.einsum("nc,nd,nk->cdk", wc, x, y, preferred_element_type=jnp.float32)
+    sum_y = jnp.einsum("nc,nk->ck", wc, y, preferred_element_type=jnp.float32)
+    b = jnp.concatenate([b_xy, sum_y[:, None, :]], axis=1)
+    yty = jnp.einsum("nc,nk,nl->ckl", wc, y, y, preferred_element_type=jnp.float32)
+    return g, b, sum_y, yty, n
+
+
+def rls_fit_grouped(
+    x: jax.Array,  # [N, d] shared rows
+    y: jax.Array,  # [N, 4]
+    cls1: jax.Array,  # [N] 1-based class labels (or anchor index + 1)
+    w: jax.Array,  # [N] validity
+    num_classes: int,
+    lam: float,
+) -> RLSModel:
+    """Fit all refiners from a shared COXY buffer (device grouping; the host
+    only sees the [C, d+1, d+1] Gram matrices)."""
+    stats = jax.device_get(
+        _gram_stats_grouped(x, y, cls1, w, num_classes)
+    )
+    return _solve_from_stats(*stats, lam)
 
 
 def rls_predict(model: RLSModel, x: jax.Array) -> jax.Array:

@@ -1,0 +1,91 @@
+"""Demo module, incremental teacher, HO3D converter, visualizer smoke."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+from online_detection_tpu.data.ho3d_to_icwt import convert, write_imagesets
+from online_detection_tpu.models.detector import DetectorConfig, init_detector_params
+from online_detection_tpu.modules.demo import IncrementalTeacher, OnlineSegmentationDemo
+from online_detection_tpu.pipelines.online_pipeline import OnlineTrainConfig
+from tests.test_detector import build_online
+
+
+def test_demo_run_and_overlay(rng):
+    params = init_detector_params(jax.random.key(0), 15, 4)
+    online = build_online(rng)
+    demo = OnlineSegmentationDemo(
+        params, online, ["bg", "a", "b", "c"], canvas_hw=(128, 192),
+        det_cfg=DetectorConfig(pre_nms_top_n=100, post_nms_top_n=30, detections_per_img=5),
+        min_size=128, max_size=320,
+    )
+    rgb = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+    result = demo.run_on_image(rgb)
+    assert set(result) >= {"boxes", "scores", "labels", "class_names", "masks"}
+    if len(result["masks"]):
+        assert result["masks"].shape[1:] == (240, 320)
+    overlay = demo.overlay(rgb, result)
+    assert overlay.shape == rgb.shape and overlay.dtype == np.uint8
+
+
+def test_incremental_teacher(rng):
+    params = init_detector_params(jax.random.key(0), 15, 4)
+    teacher = IncrementalTeacher(
+        params, canvas_hw=(128, 192),
+        train_cfg=OnlineTrainConfig(
+            num_classes=0, det_m=16, rpn_m=16, segm_m=8,
+            iterations=2, batch_size=32, segm_batch_size=128,
+        ),
+        det_cfg=DetectorConfig(pre_nms_top_n=100, post_nms_top_n=30),
+        min_size=128, max_size=320,
+    )
+    cup = teacher.add_new_class("cup")
+    assert cup == 1
+    rgb = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+    mask = np.zeros((240, 320), np.float32)
+    mask[50:120, 60:140] = 1
+    teacher.observe(rgb, [60, 50, 140, 120], cup, mask)
+    teacher.observe(rgb, [60, 50, 140, 120], cup, mask)
+    online1 = teacher.update_model()
+    assert bool(online1.detector.falkon.exists[0])
+    # teach a second class incrementally
+    ball = teacher.add_new_class("ball")
+    rgb2 = rng.integers(0, 255, (240, 320, 3), dtype=np.uint8)
+    teacher.observe(rgb2, [10, 10, 80, 90], ball, mask)
+    online2 = teacher.update_model()
+    assert online2.detector.falkon.alpha.shape[0] == 2
+    assert bool(online2.detector.falkon.exists.all())
+
+
+def test_ho3d_converter(tmp_path, rng):
+    from PIL import Image
+
+    # fabricate one HO3D sequence
+    src = tmp_path / "HO3D" / "train" / "MC1"
+    (src / "rgb").mkdir(parents=True)
+    (src / "seg").mkdir(parents=True)
+    seg = np.zeros((120, 160, 3), np.uint8)
+    seg[30:60, 40:90, 2] = 255  # blue channel marks the object
+    Image.fromarray(seg).save(src / "seg" / "0000.png")
+    Image.fromarray(
+        rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
+    ).save(src / "rgb" / "0000.png")
+
+    out = str(tmp_path / "HO3D_V2_iCWT_format")
+    ids = convert(str(tmp_path / "HO3D" / "train"), out)
+    assert ids == ["MC1/0000"]
+    write_imagesets(out, ids)
+    ds = ICubWorldDataset(
+        os.path.join(out, "train").replace(str(tmp_path), str(tmp_path)) ,
+        "", "imageset_train",
+    )
+    # dir name contains HO3D -> HO3D class table; 003_cracker_box = label 1
+    anno = ds.get_annotation(0)
+    assert ds.classes[anno.labels[0]] == "003_cracker_box"
+    # box matches scaled mask extents (seg upscaled 4x to 640x480)
+    assert anno.boxes[0][0] >= 150 and anno.boxes[0][2] <= 370
+    masks = ds.load_masks(0, anno)
+    assert masks.shape == (1, 480, 640) and masks.max() == 1.0
