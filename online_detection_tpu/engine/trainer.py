@@ -109,10 +109,17 @@ def training_loss(
     """Full Mask R-CNN loss for one image (``batch``: canvas image, true
     size, padded GT boxes/labels/valid/masks)."""
     k_rpn, k_roi, k_prop = jax.random.split(key, 3)
-    image, image_size = batch["image"], batch["image_size"]
+    image_size = batch["image_size"]
     gt_boxes, gt_labels, gt_valid = batch["gt_boxes"], batch["gt_labels"], batch["gt_valid"]
 
-    c4 = resnet.backbone_c4(params["backbone"], image[None])
+    if "c4" in batch:  # train-from-backbone-features mode
+        c4 = batch["c4"][None]
+    else:
+        from online_detection_tpu.data.transforms import normalize_canvas
+
+        c4 = resnet.backbone_c4(
+            params["backbone"], normalize_canvas(batch["image"])[None]
+        )
     t = rpn_features(params["rpn"], c4)
     logits, deltas = rpn_pretrained(params["rpn"], t)
     h, w, a = logits.shape[1], logits.shape[2], logits.shape[3]
