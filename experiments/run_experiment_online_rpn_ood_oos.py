@@ -136,8 +136,27 @@ def main(argv=None):
                          extras["min_size_test"], extras["max_size_test"])
 
     total_t0 = time.time()
+    use_device_pipeline = (
+        jax.default_backend() == "tpu"
+        and not args.save_RPN_detector_segmentation_features
+        and not args.load_RPN_detector_segmentation_features
+    )
     if args.load_RPN_detector_segmentation_models:
         online = ckpt.load_online_models(output_dir)
+    elif use_device_pipeline:
+        # zero-roundtrip path: reservoirs + solvers stay in HBM
+        from online_detection_tpu.pipelines import device_pipeline as dpipe
+
+        state, _ = dpipe.harvest_dataset_device(
+            jax.random.key(1), params, train_ds, train_cfg, canvas,
+            dcfg=det_cfg, output_dir=output_dir,
+            min_size=extras["min_size_test"], max_size=extras["max_size_test"],
+        )
+        online = dpipe.train_online_modules_device(
+            jax.random.key(2), state, train_cfg, output_dir
+        )
+        if args.save_RPN_detector_segmentation_models:
+            ckpt.save_online_models(output_dir, online)
     else:
         if args.load_RPN_detector_segmentation_features:
             harvest = ckpt.load_features(output_dir)
