@@ -35,6 +35,22 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # a silent CPU fallback (e.g. the chip is claimed by another process at
+    # startup) would report flagship numbers hundreds of times slower than
+    # the hardware — re-exec to retry backend init until the chip is free
+    if jax.default_backend() != "tpu":
+        attempt = int(os.environ.get("ODTPU_BENCH_ATTEMPT", "0"))
+        if attempt < 20:
+            print(
+                f"# bench: TPU unavailable (backend={jax.default_backend()}), "
+                f"retrying ({attempt})", file=sys.stderr,
+            )
+            time.sleep(30)
+            os.environ["ODTPU_BENCH_ATTEMPT"] = str(attempt + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise SystemExit("bench: no TPU backend after retries")
+    print(f"# bench backend: {jax.default_backend()}", file=sys.stderr)
+
     from online_detection_tpu.solvers.minibootstrap import (
         MinibootstrapParams,
         train_classifiers_minibootstrap,

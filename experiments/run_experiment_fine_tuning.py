@@ -74,6 +74,22 @@ def main(argv=None):
     )
     if args.max_iter:
         cfg = cfg._replace(max_iter=args.max_iter)
+
+    if args.use_backbone_features:
+        # cache the frozen C4 maps once and train from them
+        # (``--use_backbone_features`` / detectors_train_from_backbone_features)
+        from online_detection_tpu.engine.backbone_cache import (
+            FromFeatDataset, dump_backbone_features,
+        )
+
+        feat_dir = os.path.join(output_dir, "features")
+        if not os.path.isdir(feat_dir):
+            dump_backbone_features(
+                params, train_ds, output_dir, canvas,
+                extras["min_size_test"], extras["max_size_test"],
+            )
+        train_ds = FromFeatDataset(train_ds, feat_dir)
+
     params, hist = do_train(
         params, train_ds, canvas, cfg, jax.random.key(0),
         with_mask=extras["mask_on"],

@@ -21,3 +21,26 @@ docstrings refer to /root/reference (hsp-iit/online-detection).
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Persistent on-disk compilation cache. TPU compiles of the big jitted
+    programs (harvest trunk, minibootstrap) cost seconds-to-minutes —
+    remotely-compiled executables included — and the cache removes them from
+    every process after the first."""
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "ODTPU_JAX_CACHE_DIR",
+            os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+        )
+        jax.config.update("jax_compilation_cache_dir", os.path.abspath(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover - cache is an optimization only
+        pass
+
+
+_enable_compilation_cache()

@@ -80,6 +80,37 @@ def _batch_split(pool: np.ndarray, iterations: int, batch_size: int, dim: int,
     return out, valid
 
 
+def _round_robin_split(image_chunks: List[np.ndarray], iterations: int,
+                       batch_size: int, dim: int):
+    """SHUFFLE_NEGATIVES=False semantics (``rpn_getProposals.py:290-340``,
+    ``box_head_getProposals.py:245-270``): each image contributes up to
+    ``ceil(npick / iterations)`` rows to each batch in order, skipping full
+    batches — so every batch mixes rows from across the image stream."""
+    out = np.zeros((iterations, batch_size, dim), np.float32)
+    fill = np.zeros((iterations,), int)
+    current_batch = 0
+    for rows in image_chunks:
+        npick = len(rows)
+        if npick == 0 or current_batch >= iterations:
+            continue
+        per_batch = math.ceil(npick / iterations)
+        idx = 0
+        for b in range(current_batch, iterations):
+            if fill[b] >= batch_size:
+                current_batch = b + 1
+                continue
+            take = min(per_batch, batch_size - fill[b], npick - idx)
+            if take <= 0:
+                break
+            out[b, fill[b] : fill[b] + take] = rows[idx : idx + take]
+            fill[b] += take
+            idx += take
+            if idx >= npick:
+                break
+    valid = np.arange(batch_size)[None, :] < fill[:, None]
+    return out, valid
+
+
 class HarvestAccumulator:
     """Folds HarvestChunks; ``finalize`` produces solver-ready arrays."""
 
@@ -185,10 +216,16 @@ class HarvestAccumulator:
         neg = np.zeros((c, iterations, batch_size, dim), np.float32)
         neg_valid = np.zeros((c, iterations, batch_size), bool)
         for i in range(c):
-            pool = pools.cat("neg", i, dim)
-            neg[i], neg_valid[i] = _batch_split(
-                pool, iterations, batch_size, dim, self.rng if shuffle else None
-            )
+            if shuffle:
+                pool = pools.cat("neg", i, dim)
+                neg[i], neg_valid[i] = _batch_split(
+                    pool, iterations, batch_size, dim, self.rng
+                )
+            else:
+                # non-shuffle parity: per-image round-robin batch filling
+                neg[i], neg_valid[i] = _round_robin_split(
+                    pools.neg[i], iterations, batch_size, dim
+                )
         return {
             "pos": pos, "pos_valid": pos_valid,
             "neg": neg, "neg_valid": neg_valid,

@@ -305,15 +305,17 @@ def project_mask_on_box(mask: jax.Array, box: jax.Array, out: int = 14) -> jax.A
 def harvest_mask(
     key: jax.Array,
     deconv_feats: jax.Array,  # [G, 14, 14, 256] conv5_mask of GT rows
-    gt_masks: jax.Array,  # [G, H, W] binary masks at canvas resolution
-    gt_boxes: jax.Array,  # [G, 4]
+    gt_masks_14: jax.Array,  # [G, 14, 14] GT masks pre-projected to the grid
     gt_labels: jax.Array,  # [G]
     gt_valid: jax.Array,  # [G]
     cfg: HarvestConfig,
 ) -> MaskChunk:
+    """Pixel sampling from pre-projected masks. Projection itself is cheap
+    and host-side (data/mask_project.py) so only [G, 14, 14] floats cross the
+    host->device link; ``project_mask_on_box`` below is the on-device twin
+    used when masks are already resident."""
     g, mh, mw, ch = deconv_feats.shape
-    proj = jax.vmap(lambda m, b: project_mask_on_box(m, b, mh))(gt_masks, gt_boxes)
-    pix_pos = (proj >= 0.5).reshape(g, mh * mw)
+    pix_pos = (gt_masks_14 >= 0.5).reshape(g, mh * mw)
     feats = deconv_feats.reshape(g, mh * mw, ch)
 
     keys = jax.random.split(key, 2 * g).reshape(g, 2)
@@ -403,7 +405,7 @@ def harvest_chunks(
     gt_boxes: jax.Array,
     gt_labels: jax.Array,
     gt_valid: jax.Array,
-    gt_masks: Optional[jax.Array],
+    gt_masks_14: Optional[jax.Array],  # [G, 14, 14] pre-projected GT masks
     hcfg: HarvestConfig,
     with_rpn: bool = True,
 ) -> HarvestChunk:
@@ -421,9 +423,9 @@ def harvest_chunks(
         k_det, feats, all_boxes, rows_valid, gt_labels, gt_valid, image_size, hcfg
     )
     mask_chunk = None
-    if gt_masks is not None and deconv is not None:
+    if gt_masks_14 is not None and deconv is not None:
         mask_chunk = harvest_mask(
-            k_mask, deconv, gt_masks, gt_boxes, gt_labels, gt_valid, hcfg
+            k_mask, deconv, gt_masks_14, gt_labels, gt_valid, hcfg
         )
     return HarvestChunk(rpn_chunk, det_chunk, mask_chunk, ar)
 
@@ -450,7 +452,14 @@ def harvest_image(
         params, online_rpn, anchors, image, image_size, gt_boxes, gt_valid,
         dcfg, with_mask_features=gt_masks is not None,
     )
+    gt_masks_14 = None
+    if gt_masks is not None:
+        # canvas-resolution masks: project on device (host callers that want
+        # minimal uplink precompute [G,14,14] and call harvest_chunks)
+        gt_masks_14 = jax.vmap(lambda m, b: project_mask_on_box(m, b, 14))(
+            gt_masks, gt_boxes
+        )
     return harvest_chunks(
         key, t, prop_boxes, prop_valid, feats, deconv, anchors, visibility,
-        image_size, gt_boxes, gt_labels, gt_valid, gt_masks, hcfg, with_rpn,
+        image_size, gt_boxes, gt_labels, gt_valid, gt_masks_14, hcfg, with_rpn,
     )

@@ -223,13 +223,19 @@ def do_train(
     order = np.random.default_rng(0).permutation(n)
     t0 = time.time()
     losses_hist = []
+    from_feat = hasattr(dataset, "load_features")
     for it in range(cfg.max_iter):
         i = int(order[it % n])
         anno = dataset.get_annotation(i)
-        rgb = dataset.load_image(i)
-        canvas, scale, (sw, sh) = transforms.preprocess_image(
-            rgb, canvas_hw, min_size, max_size
-        )
+        if from_feat:  # train-from-backbone-features mode
+            c4, scale, (sw, sh) = dataset.load_features(i)
+            batch = {"c4": jnp.asarray(c4)}
+        else:
+            rgb = dataset.load_image(i)
+            canvas, scale, (sw, sh) = transforms.preprocess_image(
+                rgb, canvas_hw, min_size, max_size
+            )
+            batch = {"image": jnp.asarray(canvas)}
         boxes = transforms.scale_boxes(anno.boxes, scale)
         g = len(boxes)
         gb = np.zeros((gt_cap, 4), np.float32)
@@ -237,8 +243,7 @@ def do_train(
         gl = np.zeros((gt_cap,), np.int32)
         gl[:g] = anno.labels[:gt_cap]
         gv = np.arange(gt_cap) < g
-        batch = {
-            "image": jnp.asarray(canvas),
+        batch.update({
             "image_size": jnp.asarray([sw, sh]),
             "gt_boxes": jnp.asarray(gb),
             "gt_labels": jnp.asarray(gl),
@@ -246,7 +251,7 @@ def do_train(
             "visibility": jnp.asarray(
                 anchor_visibility(np.asarray(anchors), (sw, sh))
             ),
-        }
+        })
         if with_mask:
             masks = dataset.load_masks(i, anno)
             gm = np.zeros((gt_cap, ch, cw), np.float32)

@@ -112,19 +112,12 @@ def harvest_dataset_device(
         gv = np.arange(gt_cap) < g
         gm = None
         if cfg.with_segmentation:
-            # original-resolution uint8 masks; projected on device against
-            # canvas-scaled boxes via the separable sampler (the reference's
-            # flagged CPU bottleneck, done on-chip)
+            # host-side mask projection: only [G, 14, 14] floats (3 KB) cross
+            # the host->device link (vs MBs of canvas-resolution masks)
+            from online_detection_tpu.data.mask_project import project_masks_for_image
+
             masks = dataset.load_masks(i, anno)
-            # uint8 canvas-resolution masks: 4x less host->device traffic
-            gm = np.zeros((gt_cap, ch, cw), np.uint8)
-            for j in range(min(g, gt_cap)):
-                ys = np.clip((np.arange(ch) / scale).astype(int), 0, masks.shape[1] - 1)
-                xs = np.clip((np.arange(cw) / scale).astype(int), 0, masks.shape[2] - 1)
-                gm[j] = (masks[j][np.ix_(ys, xs)] > 0.5) & (
-                    (np.arange(ch)[:, None] < sh) & (np.arange(cw)[None, :] < sw)
-                )
-            gm = jnp.asarray(gm)
+            gm = jnp.asarray(project_masks_for_image(masks, gb[:g], scale, gt_cap))
         vis = anchor_visibility(np.asarray(anchors), (sw, sh))
         tr = jit_trunk(
             params, online_rpn, anchors, jnp.asarray(canvas),

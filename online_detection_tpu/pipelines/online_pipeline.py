@@ -181,15 +181,10 @@ def harvest_dataset(
         gl[:g] = anno.labels[:gt_cap]
         gv = np.arange(gt_cap) < g
         if cfg.with_segmentation:
+            from online_detection_tpu.data.mask_project import project_masks_for_image
+
             masks = dataset.load_masks(i, anno)  # [G, H, W] original res
-            gm = np.zeros((gt_cap, ch, cw), np.float32)
-            for j in range(min(g, gt_cap)):
-                # nearest-neighbor scale to canvas resolution
-                ys = np.clip((np.arange(ch) / scale).astype(int), 0, masks.shape[1] - 1)
-                xs = np.clip((np.arange(cw) / scale).astype(int), 0, masks.shape[2] - 1)
-                gm[j] = masks[j][np.ix_(ys, xs)] * (
-                    (np.arange(ch)[:, None] < sh) & (np.arange(cw)[None, :] < sw)
-                )
+            gm = project_masks_for_image(masks, gb[:g], scale, gt_cap)
         else:
             gm = None
         vis = anchor_visibility(np.asarray(anchors), (sw, sh))

@@ -134,7 +134,15 @@ def test_project_mask_and_harvest_mask(rng):
     labels = jnp.asarray([2, 1])
     valid = jnp.asarray([True, True])
     cfg = HarvestConfig(num_classes=3, mask_pix_cap=64, sampling_factor=0.3)
-    chunk = harvest_mask(jax.random.key(0), feats, masks, boxes, labels, valid, cfg)
+    masks14 = jax.vmap(lambda m, b: project_mask_on_box(m, b, 14))(masks, boxes)
+    # host-side projection twin must agree with the device projection
+    from online_detection_tpu.data.mask_project import project_mask_on_box_np
+
+    np.testing.assert_allclose(
+        project_mask_on_box_np(np.asarray(masks[0]), np.asarray(boxes[0])),
+        np.asarray(masks14[0]), rtol=1e-5, atol=1e-5,
+    )
+    chunk = harvest_mask(jax.random.key(0), feats, masks14, labels, valid, cfg)
     # gt0: all pixels positive -> floor(0.3*196)=58 positives, 0 negatives
     assert int(chunk.pos_valid[0].sum()) == 58
     assert int(chunk.neg_valid[0].sum()) == 0
