@@ -208,6 +208,10 @@ def do_train(
     max_size: int = 1333,
     gt_cap: int = 20,
     log_every: int = 20,
+    checkpoint_period: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    val_fn=None,
+    val_period: Optional[int] = None,
 ):
     """The SGD loop (batch=1/image like the reference's configs)."""
     from online_detection_tpu.data import transforms
@@ -267,6 +271,18 @@ def do_train(
         losses_hist.append(float(loss))
         if it % log_every == 0:
             print(f"iter {it}: loss {float(loss):.4f}", flush=True)
+        # periodic checkpoints (``checkpointer.save("model_{:07d}")``,
+        # ``trainer.py:194-195``) and validation (``trainer.py:196-230``)
+        if checkpoint_period and checkpoint_dir and it > 0 and it % checkpoint_period == 0:
+            import os, pickle
+
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            with open(
+                os.path.join(checkpoint_dir, f"model_{it:07d}.pkl"), "wb"
+            ) as f:
+                pickle.dump(jax.device_get(params), f)
+        if val_fn and val_period and it > 0 and it % val_period == 0:
+            val_fn(params, it)
         if time_budget is not None and time.time() - t0 > time_budget:
             print(f"time budget reached at iter {it}")
             break

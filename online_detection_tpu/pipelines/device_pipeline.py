@@ -193,6 +193,7 @@ def train_online_modules_device(
             pos_valid.reshape(-1).astype(jnp.float32),
             a_cls,
             cfg.rpn_reg_lam,
+            device_solve=True,
         )
         _write_result(
             output_dir,
@@ -243,7 +244,7 @@ def train_online_modules_device(
     reg_x = zscore(coxy_x, stats_det) if cfg.normalize_features_regressor_detector else coxy_x
     det_rls = rls_fit_grouped(
         reg_x, coxy_y, coxy_c, coxy_valid.astype(jnp.float32),
-        cfg.num_classes, cfg.det_reg_lam,
+        cfg.num_classes, cfg.det_reg_lam, device_solve=True,
     )
     _write_result(
         output_dir,

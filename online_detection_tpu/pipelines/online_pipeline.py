@@ -395,7 +395,7 @@ def run_inference(
     for i in range(len(dataset)):
         anno = dataset.get_annotation(i)
         rgb = dataset.load_image(i)
-        canvas, scale, (sw, sh) = transforms.preprocess_image(
+        canvas, scale, (sw, sh) = transforms.preprocess_image_u8(
             rgb, canvas_hw, min_size, max_size
         )
         dets, mask_probs, _, _ = jit_detect(

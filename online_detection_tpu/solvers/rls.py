@@ -177,13 +177,62 @@ def rls_fit_grouped(
     w: jax.Array,  # [N] validity
     num_classes: int,
     lam: float,
+    device_solve: bool = False,
 ) -> RLSModel:
-    """Fit all refiners from a shared COXY buffer (device grouping; the host
-    only sees the [C, d+1, d+1] Gram matrices)."""
-    stats = jax.device_get(
-        _gram_stats_grouped(x, y, cls1, w, num_classes)
+    """Fit all refiners from a shared COXY buffer (device grouping).
+
+    ``device_solve=False`` (default): pull the [C, d+1, d+1] Gram matrices
+    and solve in host float64 (the reference's numerics). ``device_solve=
+    True``: solve on device in f32 — trades the reference's f64 for zero
+    Gram transfer, which wins on thin host<->device links; the 4x4 whitening
+    still runs in host f64 from KB-scale moments.
+    """
+    if not device_solve:
+        stats = jax.device_get(
+            _gram_stats_grouped(x, y, cls1, w, num_classes)
+        )
+        return _solve_from_stats(*stats, lam)
+
+    g, b, sum_y, yty, n = _gram_stats_grouped(x, y, cls1, w, num_classes)
+    # whitening from tiny moments (host f64)
+    sum_y_h, yty_h, n_h = jax.device_get((sum_y, yty, n))
+    c = g.shape[0]
+    t_all = np.zeros((c, 4, 4))
+    t_inv_all = np.zeros((c, 4, 4))
+    mu_all = np.zeros((c, 4))
+    exists = np.zeros((c,), bool)
+    for i in range(c):
+        ni = float(n_h[i])
+        if ni < 1:
+            t_all[i] = np.eye(4)
+            t_inv_all[i] = np.eye(4)
+            continue
+        exists[i] = True
+        mu = sum_y_h[i].astype(np.float64) / ni
+        s = (yty_h[i].astype(np.float64) - ni * np.outer(mu, mu)) / ni
+        dvals, wvecs = np.linalg.eig(s)
+        dvals, wvecs = dvals.real, wvecs.real
+        t_all[i] = wvecs @ np.diag(1.0 / np.sqrt(dvals + 0.001)) @ wvecs.T
+        t_inv_all[i] = wvecs @ np.diag(np.sqrt(dvals + 0.001)) @ wvecs.T
+        mu_all[i] = mu
+
+    t_dev = jnp.asarray(t_all, jnp.float32)
+    mu_dev = jnp.asarray(mu_all, jnp.float32)
+    dp1 = g.shape[1]
+    sum_x1 = g[:, :, -1]  # [C, d+1]
+    bw = jnp.einsum(
+        "cdk,ckl->cdl", b - sum_x1[:, :, None] * mu_dev[:, None, :], t_dev
     )
-    return _solve_from_stats(*stats, lam)
+    a = g + lam * jnp.eye(dp1, dtype=g.dtype)[None]
+    beta = jnp.linalg.solve(a, bw)  # batched f32 LU on device
+    return RLSModel(
+        beta=beta,
+        t_inv=jnp.asarray(t_inv_all, jnp.float32),
+        t=t_dev,
+        mu=mu_dev,
+        exists=jnp.asarray(exists),
+        mean_losses=jnp.zeros((c, 4), jnp.float32),
+    )
 
 
 def rls_predict(model: RLSModel, x: jax.Array) -> jax.Array:
