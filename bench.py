@@ -55,7 +55,7 @@ def main():
         MinibootstrapParams,
         train_classifiers_minibootstrap,
     )
-    from online_detection_tpu.solvers.rls import rls_fit
+    from online_detection_tpu.solvers.rls import rls_fit_grouped
 
     rng = np.random.default_rng(0)
 
@@ -71,20 +71,27 @@ def main():
     rpn_p = MinibootstrapParams(m=1000, sigma=50.0, lam=1e-3)
     seg_p = MinibootstrapParams(m=500, sigma=10.0, lam=1e-6)
 
-    coxy_x = jnp.asarray(rng.normal(size=(21, 1000, 2048)).astype(np.float32))
-    coxy_y = jnp.asarray(rng.normal(size=(21, 1000, 4)).astype(np.float32))
-    coxy_w = jnp.ones((21, 1000))
-    rpn_x = jnp.asarray(rng.normal(size=(15, 1000, 1024)).astype(np.float32))
-    rpn_y = jnp.asarray(rng.normal(size=(15, 1000, 4)).astype(np.float32))
-    rpn_w = jnp.ones((15, 1000))
+    # shared COXY buffers, grouped on device (21k detector rows, 15k RPN rows)
+    coxy_x = jnp.asarray(rng.normal(size=(21 * 1000, 2048)).astype(np.float32))
+    coxy_y = jnp.asarray(rng.normal(size=(21 * 1000, 4)).astype(np.float32))
+    coxy_c = jnp.asarray(np.repeat(np.arange(1, 22), 1000).astype(np.float32))
+    coxy_w = jnp.ones((21 * 1000,))
+    rpn_x = jnp.asarray(rng.normal(size=(15 * 1000, 1024)).astype(np.float32))
+    rpn_y = jnp.asarray(rng.normal(size=(15 * 1000, 4)).astype(np.float32))
+    rpn_c = jnp.asarray(np.repeat(np.arange(1, 16), 1000).astype(np.float32))
+    rpn_w = jnp.ones((15 * 1000,))
 
     def full_training_step(key):
         m_det = train_classifiers_minibootstrap(key, *det, det_p)
         m_rpn = train_classifiers_minibootstrap(key, *rpn, rpn_p)
         m_seg = train_classifiers_minibootstrap(key, *seg, seg_p)
-        r_det = rls_fit(coxy_x, coxy_y, coxy_w, 1000.0)
-        r_rpn = rls_fit(rpn_x, rpn_y, rpn_w, 0.01)
-        jax.block_until_ready((m_det.alpha, m_rpn.alpha, m_seg.alpha))
+        r_det = rls_fit_grouped(coxy_x, coxy_y, coxy_c, coxy_w, 21, 1000.0,
+                                device_solve=True)
+        r_rpn = rls_fit_grouped(rpn_x, rpn_y, rpn_c, rpn_w, 15, 0.01,
+                                device_solve=True)
+        jax.block_until_ready(
+            (m_det.alpha, m_rpn.alpha, m_seg.alpha, r_det.beta, r_rpn.beta)
+        )
         return m_det, r_det, r_rpn
 
     # warm-up / compile (not timed)
