@@ -30,6 +30,13 @@ def _enable_compilation_cache():
     every process after the first."""
     import os
 
+    # CPU AOT cache artifacts are machine-feature-sensitive (SIGILL risk when
+    # an entry compiled in a different sandbox is loaded), so only enable the
+    # cache when the process is headed for the TPU backend.
+    if "axon" not in os.environ.get("JAX_PLATFORMS", "") and "tpu" not in os.environ.get(
+        "JAX_PLATFORMS", ""
+    ):
+        return
     try:
         import jax
 

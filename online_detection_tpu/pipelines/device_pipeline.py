@@ -71,6 +71,9 @@ def harvest_dataset_device(
 
     state = dacc.init_reservoirs(
         cfg.num_anchor_classes, cfg.num_classes, neg_cap,
+        rpn_pos_cap=cfg.rpn_pos_cap,
+        det_pos_cap=cfg.det_pos_cap,
+        coxy_cap=cfg.coxy_cap,
         mask_cap=cfg.segm_batch_size * 2,
         chunk_sizes={
             "npick": npick, "rpn_pos": hcfg.rpn_pos_cap, "gt_cap": gt_cap,

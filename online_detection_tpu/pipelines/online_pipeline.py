@@ -81,6 +81,12 @@ class OnlineTrainConfig(NamedTuple):
     segm_batch_size: int = 20000
     with_rpn: bool = True
     with_segmentation: bool = True
+    # device-reservoir capacities (device_pipeline): per-class positives and
+    # shared COXY rows retained; the reference keeps all positives (unbounded
+    # lists), so size these to the dataset
+    rpn_pos_cap: int = 8192
+    det_pos_cap: int = 8192
+    coxy_cap: int = 60000
 
 
 def _write_result(output_dir: Optional[str], text: str):

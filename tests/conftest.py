@@ -20,6 +20,10 @@ import jax  # noqa: E402
 # config here (before any computation) still pins tests to the 8-device
 # virtual CPU platform.
 jax.config.update("jax_platforms", "cpu")
+# the framework enables a persistent compilation cache for TPU programs;
+# CPU AOT artifacts are machine-feature-sensitive across sandboxes, so keep
+# the CPU test runs cache-free
+jax.config.update("jax_compilation_cache_dir", None)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
