@@ -16,41 +16,114 @@ against the 120 s the reference's published pipeline budget corresponds to
 (paper tables report 2-4 min on-line training on YCB-Video; BASELINE.md —
 no in-repo numbers exist, so 120 s is the conservative low end).
 
-Prints ONE JSON line.
+Output protocol (round-2 redesign after the round-1 rc=124 timeout): a JSON
+line is printed and flushed **the moment each stage is measured**, cheapest
+stage first, so a partial run still lands numbers. The LAST line printed is
+always the headline ``online_training_time_flagship_scale`` metric — composed
+from per-stage sums if the end-to-end sweep had to be skipped on deadline.
+Stale persistent-compile-cache entries from a different libtpu build are
+detected (fingerprint file) and purged instead of crashing the process.
 """
 
 import json
 import os
+import shutil
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 import numpy as np
 
 BASELINE_SECONDS = 120.0
+CACHE_DIR = os.path.abspath(
+    os.environ.get("ODTPU_JAX_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
+)
+
+
+def _deadline() -> float:
+    """Absolute wall deadline, inherited across re-execs via env."""
+    if "ODTPU_BENCH_DEADLINE" not in os.environ:
+        budget = float(os.environ.get("ODTPU_BENCH_BUDGET", "480"))
+        os.environ["ODTPU_BENCH_DEADLINE"] = str(time.time() + budget)
+    return float(os.environ["ODTPU_BENCH_DEADLINE"])
+
+
+def _remaining(deadline: float) -> float:
+    return deadline - time.time()
+
+
+def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
+    rec = {"metric": metric, "value": round(float(value), 4), "unit": unit}
+    if vs_baseline is not None:
+        rec["vs_baseline"] = round(float(vs_baseline), 2)
+    rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def _purge_cache(reason: str):
+    print(f"# bench: purging compile cache ({reason})", file=sys.stderr)
+    shutil.rmtree(CACHE_DIR, ignore_errors=True)
+
+
+def _guard_cache_fingerprint(jax):
+    """Purge the persistent compile cache when the libtpu build changed —
+    stale AOT entries raise FAILED_PRECONDITION at dispatch time otherwise
+    (observed in round 1's MULTICHIP/BENCH artifacts)."""
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        return
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    fp_path = os.path.join(CACHE_DIR, ".libtpu_fingerprint")
+    old = None
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            old = f.read()
+    if old is not None and old != version:
+        _purge_cache("libtpu fingerprint changed")
+        os.makedirs(CACHE_DIR, exist_ok=True)
+    with open(fp_path, "w") as f:
+        f.write(version)
+
+
+def _is_stale_cache_error(err: BaseException) -> bool:
+    msg = str(err)
+    return "libtpu version mismatch" in msg or (
+        "FAILED_PRECONDITION" in msg and "AOT" in msg
+    )
 
 
 def main():
+    deadline = _deadline()
     import jax
     import jax.numpy as jnp
 
     # a silent CPU fallback (e.g. the chip is claimed by another process at
     # startup) would report flagship numbers hundreds of times slower than
-    # the hardware — re-exec to retry backend init until the chip is free
+    # the hardware — retry backend init until the chip is free, bounded so
+    # the wait cannot eat the whole budget
     if jax.default_backend() != "tpu":
         attempt = int(os.environ.get("ODTPU_BENCH_ATTEMPT", "0"))
-        if attempt < 20:
+        if attempt < 8 and _remaining(deadline) > 120:
             print(
                 f"# bench: TPU unavailable (backend={jax.default_backend()}), "
                 f"retrying ({attempt})", file=sys.stderr,
             )
-            time.sleep(30)
+            time.sleep(15)
             os.environ["ODTPU_BENCH_ATTEMPT"] = str(attempt + 1)
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise SystemExit("bench: no TPU backend after retries")
     print(f"# bench backend: {jax.default_backend()}", file=sys.stderr)
+    _guard_cache_fingerprint(jax)
+    # persistent compile cache: the flagship programs cost ~15-150 s of
+    # (remote) compile each; with the fingerprint guard above, reusing them
+    # across runs is safe and makes repeat benches compile-free
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    from online_detection_tpu.ops.gaussian_mmv import mmv
     from online_detection_tpu.solvers.minibootstrap import (
         MinibootstrapParams,
         train_classifiers_minibootstrap,
@@ -59,59 +132,118 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    def timed(fn):
+        """(compile+first-run seconds, warm-run seconds) for a thunk.
+
+        Completion is forced with ``jax.device_get`` — on the remote axon
+        platform ``block_until_ready`` returns before the computation
+        finishes, which round-2 probing showed inflates throughput numbers
+        ~50x. Outputs here are KB-scale, so the fetch cost is noise.
+        """
+        t0 = time.perf_counter()
+        jax.device_get(fn())
+        t1 = time.perf_counter()
+        jax.device_get(fn())
+        t2 = time.perf_counter()
+        return t1 - t0, t2 - t1
+
+    stage_times = {}  # warm wall-clock per stage, summed into the headline
+
+    # ---- stage 1: fused Gaussian-kernel mmv (the inference primitive) ----
+    x_mmv = jnp.asarray(rng.normal(size=(20000, 2048)).astype(np.float32))
+    c_mmv = jnp.asarray(rng.normal(size=(1000, 2048)).astype(np.float32))
+    a_mmv = jnp.asarray(rng.normal(size=(1000,)).astype(np.float32))
+    jax.device_get(mmv(x_mmv, c_mmv, a_mmv, 15.0))  # compile + warm
+    reps = 50  # amortize the tunnel round-trip out of the per-call number
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(reps):
+        out = mmv(x_mmv, c_mmv, a_mmv, 15.0)
+    jax.device_get(out)
+    warm_s = (time.perf_counter() - t0) / reps
+    flops = 2.0 * 20000 * 1000 * 2048
+    emit("gaussian_mmv_20k_x_1000_d2048", warm_s * 1e3, "ms",
+         vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1), reps=reps)
+
+    # ---- stage 2: grouped RLS refiners (device Cholesky solve) ----
+    def rls_stage(n_cls, d, lam, name):
+        xs = jnp.asarray(rng.normal(size=(n_cls * 1000, d)).astype(np.float32))
+        ys = jnp.asarray(rng.normal(size=(n_cls * 1000, 4)).astype(np.float32))
+        cs = jnp.asarray(np.repeat(np.arange(1, n_cls + 1), 1000).astype(np.float32))
+        ws = jnp.ones((n_cls * 1000,))
+        thunk = lambda: rls_fit_grouped(
+            xs, ys, cs, ws, n_cls, lam, device_solve=True
+        ).beta
+        compile_s, warm_s = timed(thunk)
+        emit(name, warm_s, "s", compile_s=round(compile_s, 2))
+        stage_times[name] = warm_s
+        return thunk
+
+    rls_det_thunk = rls_rpn_thunk = None
+    if _remaining(deadline) > 60:
+        rls_det_thunk = rls_stage(21, 2048, 1000.0, "rls_fit_detector_21x1000")
+    if _remaining(deadline) > 45:
+        rls_rpn_thunk = rls_stage(15, 1024, 0.01, "rls_fit_rpn_15x1000")
+
+    # ---- stages 3-5: per-head FALKON minibootstrap ----
     def mk(c, p, i, b, d):
         pos = jnp.asarray(rng.normal(size=(c, p, d)).astype(np.float32) + 0.5)
         neg = jnp.asarray(rng.normal(size=(c, i, b, d)).astype(np.float32) - 0.5)
         return pos, jnp.ones((c, p), bool), neg, jnp.ones((c, i, b), bool)
 
-    det = mk(21, 500, 10, 2000, 2048)
-    rpn = mk(15, 500, 10, 2000, 1024)
-    seg = mk(21, 2000, 2, 20000, 256)
-    det_p = MinibootstrapParams(m=1000, sigma=15.0, lam=1e-5)
-    rpn_p = MinibootstrapParams(m=1000, sigma=50.0, lam=1e-3)
-    seg_p = MinibootstrapParams(m=500, sigma=10.0, lam=1e-6)
+    heads = [
+        ("minibootstrap_segm_21cls_m500", mk(21, 2000, 2, 20000, 256),
+         MinibootstrapParams(m=500, sigma=10.0, lam=1e-6)),
+        ("minibootstrap_rpn_15anchors_m1000", mk(15, 500, 10, 2000, 1024),
+         MinibootstrapParams(m=1000, sigma=50.0, lam=1e-3)),
+        ("minibootstrap_detector_21cls_m1000", mk(21, 500, 10, 2000, 2048),
+         MinibootstrapParams(m=1000, sigma=15.0, lam=1e-5)),
+    ]
+    head_thunks = {}
+    for name, data, params in heads:
+        if _remaining(deadline) < 45:
+            print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
+            continue
+        thunk = (lambda d=data, p=params:
+                 train_classifiers_minibootstrap(jax.random.key(0), *d, p).alpha)
+        compile_s, warm_s = timed(thunk)
+        emit(name, warm_s, "s", compile_s=round(compile_s, 2))
+        stage_times[name] = warm_s
+        head_thunks[name] = thunk
 
-    # shared COXY buffers, grouped on device (21k detector rows, 15k RPN rows)
-    coxy_x = jnp.asarray(rng.normal(size=(21 * 1000, 2048)).astype(np.float32))
-    coxy_y = jnp.asarray(rng.normal(size=(21 * 1000, 4)).astype(np.float32))
-    coxy_c = jnp.asarray(np.repeat(np.arange(1, 22), 1000).astype(np.float32))
-    coxy_w = jnp.ones((21 * 1000,))
-    rpn_x = jnp.asarray(rng.normal(size=(15 * 1000, 1024)).astype(np.float32))
-    rpn_y = jnp.asarray(rng.normal(size=(15 * 1000, 4)).astype(np.float32))
-    rpn_c = jnp.asarray(np.repeat(np.arange(1, 16), 1000).astype(np.float32))
-    rpn_w = jnp.ones((15 * 1000,))
+    # ---- headline: the full on-line training step ----
+    complete = len(stage_times) == 5
+    if complete and _remaining(deadline) > 2.5 * sum(stage_times.values()) + 10:
+        # everything is compiled — one timed end-to-end sweep
+        def full_training_step():
+            outs = [t() for t in head_thunks.values()]
+            outs.append(rls_det_thunk())
+            outs.append(rls_rpn_thunk())
+            jax.device_get(outs)  # force completion (see timed())
 
-    def full_training_step(key):
-        m_det = train_classifiers_minibootstrap(key, *det, det_p)
-        m_rpn = train_classifiers_minibootstrap(key, *rpn, rpn_p)
-        m_seg = train_classifiers_minibootstrap(key, *seg, seg_p)
-        r_det = rls_fit_grouped(coxy_x, coxy_y, coxy_c, coxy_w, 21, 1000.0,
-                                device_solve=True)
-        r_rpn = rls_fit_grouped(rpn_x, rpn_y, rpn_c, rpn_w, 15, 0.01,
-                                device_solve=True)
-        jax.block_until_ready(
-            (m_det.alpha, m_rpn.alpha, m_seg.alpha, r_det.beta, r_rpn.beta)
-        )
-        return m_det, r_det, r_rpn
-
-    # warm-up / compile (not timed)
-    full_training_step(jax.random.key(0))
-
-    t0 = time.perf_counter()
-    full_training_step(jax.random.key(1))
-    dt = time.perf_counter() - t0
-
-    print(
-        json.dumps(
-            {
-                "metric": "online_training_time_flagship_scale",
-                "value": round(dt, 3),
-                "unit": "s",
-                "vs_baseline": round(BASELINE_SECONDS / dt, 2),
-            }
-        )
-    )
+        t0 = time.perf_counter()
+        full_training_step()
+        dt = time.perf_counter() - t0
+        emit("online_training_time_flagship_scale", dt, "s",
+             vs_baseline=BASELINE_SECONDS / dt)
+    elif stage_times:
+        # deadline hit: headline = sum of the measured warm stages (the full
+        # step is their sequential composition)
+        dt = sum(stage_times.values())
+        emit("online_training_time_flagship_scale", dt, "s",
+             vs_baseline=BASELINE_SECONDS / dt,
+             estimated_from_stages=sorted(stage_times),
+             complete=complete)
+    else:
+        raise SystemExit("bench: no stage completed before the deadline")
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # stale AOT entries from a different libtpu build
+        if _is_stale_cache_error(e) and "ODTPU_BENCH_PURGED" not in os.environ:
+            _purge_cache(f"stale AOT entry: {type(e).__name__}")
+            os.environ["ODTPU_BENCH_PURGED"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise

@@ -19,6 +19,7 @@ dryrun_multichip``.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Sequence
 
 import jax
@@ -34,8 +35,21 @@ from online_detection_tpu.solvers.minibootstrap import (
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "mb") -> Mesh:
+    """1-D mesh over ``n_devices`` (all devices when None).
+
+    Raises when fewer devices exist than requested — a silent truncation
+    would make an "8-device" dryrun quietly test a 1-device mesh.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} available on platform "
+                f"{jax.default_backend()!r}; for CPU-simulated meshes set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                f"and JAX_PLATFORMS=cpu before any JAX computation"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
@@ -48,6 +62,20 @@ def pad_axis(x: jax.Array, multiple: int, axis: int = 0) -> jax.Array:
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
     return jnp.pad(x, widths)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_sharded_train(mesh: Mesh, axis_name: str):
+    """Class-sharded minibootstrap program, cached per mesh (a fresh jit per
+    call would recompile)."""
+    cls_sharding = NamedSharding(mesh, P(axis_name))
+    fn = jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None))
+    return jax.jit(
+        fn,
+        static_argnums=(5,),
+        in_shardings=(cls_sharding,) * 5,
+        out_shardings=cls_sharding,
+    )
 
 
 def train_classifiers_minibootstrap_sharded(
@@ -71,15 +99,9 @@ def train_classifiers_minibootstrap_sharded(
     nvp = pad_axis(neg_valid, n_dev)
     keys = jax.random.split(key, posp.shape[0])
 
-    cls_sharding = NamedSharding(mesh, P(axis_name))
-    fn = jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None))
-    jitted = jax.jit(
-        fn,
-        static_argnums=(5,),
-        in_shardings=(cls_sharding,) * 5,
-        out_shardings=cls_sharding,
+    centers, alpha, exists = _jit_sharded_train(mesh, axis_name)(
+        keys, posp, pvp, negp, nvp, params
     )
-    centers, alpha, exists = jitted(keys, posp, pvp, negp, nvp, params)
     return FalkonModel(centers[:c], alpha[:c], exists[:c], params.sigma)
 
 

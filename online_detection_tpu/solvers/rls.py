@@ -223,8 +223,17 @@ def rls_fit_grouped(
     bw = jnp.einsum(
         "cdk,ckl->cdl", b - sum_x1[:, :, None] * mu_dev[:, None, :], t_dev
     )
-    a = g + lam * jnp.eye(dp1, dtype=g.dtype)[None]
-    beta = jnp.linalg.solve(a, bw)  # batched f32 LU on device
+    # Batched Cholesky + two triangular solves. (A batched f32 LU via
+    # jnp.linalg.solve compiles ~25x slower on TPU — 193 s vs 7.6 s at
+    # [21, 2049, 2049] — for identical warm-run time.) G + lam*I is PD up to
+    # f32 Gram rounding; a relative jitter ~25x f32 eps on the diagonal keeps
+    # the factorization well-posed without measurably moving the solution.
+    diag_scale = jnp.mean(jnp.diagonal(g, axis1=1, axis2=2), axis=1)  # [C]
+    jitter = 3e-6 * jnp.maximum(diag_scale, 1.0)
+    a = g + (lam + jitter)[:, None, None] * jnp.eye(dp1, dtype=g.dtype)[None]
+    l_chol = jnp.linalg.cholesky(a)
+    u = jax.scipy.linalg.solve_triangular(l_chol, bw, lower=True)
+    beta = jax.scipy.linalg.solve_triangular(l_chol, u, lower=True, trans="T")
     return RLSModel(
         beta=beta,
         t_inv=jnp.asarray(t_inv_all, jnp.float32),
