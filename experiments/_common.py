@@ -11,11 +11,24 @@ import jax
 
 
 def resolve_config(path):
-    if path and not os.path.isabs(path):
+    """Resolve a config name against experiments/configs, else as a path.
+
+    A named-but-missing config RAISES instead of silently falling back to
+    built-in defaults — a run on the wrong hyperparameters is worse than no
+    run. Pass an empty string/None to explicitly request the defaults.
+    """
+    if not path:
+        return None
+    if not os.path.isabs(path):
         local = os.path.join(os.path.dirname(__file__), "configs", path)
         if os.path.exists(local):
             return local
-    return path if path and os.path.exists(path) else None
+    if os.path.exists(path):
+        return path
+    raise FileNotFoundError(
+        f"config file {path!r} not found (looked in experiments/configs and "
+        f"as a path); pass '' to run on built-in defaults"
+    )
 
 
 def load_configs(feat_path, online_path, minibootstrap_iterations=None):
@@ -51,15 +64,34 @@ def make_dataset(name, data_root="Data/datasets"):
     )
 
 
+def resolve_weight(weight_ref):
+    """MODEL.WEIGHT -> local file path, or None.
+
+    The reference's configs use three forms (``paths_catalog.py:350-403``,
+    ``DetectronCheckpointer``): ``catalog://...`` model-zoo URIs, bare
+    filenames (resolved under Data/pretrained_feature_extractors/), and
+    plain paths."""
+    if not weight_ref:
+        return None
+    candidates = [
+        weight_ref.replace("catalog://", "Data/pretrained_feature_extractors/"),
+        os.path.join("Data/pretrained_feature_extractors", weight_ref),
+        weight_ref,
+    ]
+    for c in candidates:
+        if "catalog://" not in c and os.path.exists(c):
+            return c
+    return None
+
+
 def load_params(weights_arg, extras, num_classes):
     from online_detection_tpu.models.detector import init_detector_params
     from online_detection_tpu.models.weights import load_checkpoint
 
     if weights_arg and os.path.exists(weights_arg):
         return load_checkpoint(weights_arg)
-    weight_ref = extras.get("weight") or ""
-    local = weight_ref.replace("catalog://", "Data/pretrained_feature_extractors/")
-    if weight_ref and os.path.exists(local):
+    local = resolve_weight(extras.get("weight") or "")
+    if local:
         return load_checkpoint(local)
     print(
         "WARNING: no pretrained weights found — using random init "

@@ -52,26 +52,17 @@ def parse_args(argv=None):
     return parser.parse_args(argv)
 
 
-def resolve_config(path):
-    if path and not os.path.isabs(path):
-        local = os.path.join(os.path.dirname(__file__), "configs", path)
-        if os.path.exists(local):
-            return local
-    return path if path and os.path.exists(path) else None
-
-
 def main(argv=None):
     args = parse_args(argv)
     if args.CPU:
         jax.config.update("jax_platforms", "cpu")
 
+    from _common import resolve_config
     from online_detection_tpu.config.config import (
         build_configs, load_yaml, resolve_dataset,
     )
     from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
     from online_detection_tpu.data.transforms import canvas_size
-    from online_detection_tpu.models.detector import init_detector_params
-    from online_detection_tpu.models.weights import load_checkpoint
     from online_detection_tpu.pipelines import online_pipeline as pipe
     from online_detection_tpu.utils import checkpoint as ckpt
 
@@ -115,21 +106,9 @@ def main(argv=None):
     test_ds = make_dataset(extras["test_datasets"][0])
 
     # feature extractor weights
-    if args.weights and os.path.exists(args.weights):
-        params = load_checkpoint(args.weights)
-    else:
-        weight_ref = extras.get("weight") or ""
-        local = weight_ref.replace("catalog://", "Data/pretrained_feature_extractors/")
-        if weight_ref and os.path.exists(local):
-            params = load_checkpoint(local)
-        else:
-            print(
-                "WARNING: no pretrained weights found — using random init "
-                "(pass --weights for real runs)"
-            )
-            params = init_detector_params(
-                jax.random.key(0), 15, train_cfg.num_classes + 1
-            )
+    from _common import load_params
+
+    params = load_params(args.weights, extras, train_cfg.num_classes)
 
     info = train_ds.get_annotation(0)
     canvas = canvas_size(info.width, info.height,
@@ -188,6 +167,7 @@ def main(argv=None):
         iou_thresholds=extras["iou_thresholds"],
         use_07_metric=extras["use_07_metric"],
         min_size=extras["min_size_test"], max_size=extras["max_size_test"],
+        eval_segm_with_gt_bboxes=args.eval_segm_with_gt_bboxes,
     )
     for k, v in results.items():
         if k.endswith("map_0.5") or k.endswith("map_0.7"):

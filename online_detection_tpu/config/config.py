@@ -152,6 +152,12 @@ def build_configs(
         hard_thresh=_get(o, "ONLINE_REGION_CLASSIFIER.MINIBOOTSTRAP.HARD_THRESH", -0.7),
         easy_thresh=_get(o, "ONLINE_REGION_CLASSIFIER.MINIBOOTSTRAP.EASY_THRESH", -0.9),
         segm_batch_size=_get(feat_cfg, "SEGMENTATION.BATCH_SIZE", 20000),
+        shuffle_negatives=bool(
+            _get(feat_cfg, "MINIBOOTSTRAP.DETECTOR.SHUFFLE_NEGATIVES", False)
+        ),
+        rpn_shuffle_negatives=bool(
+            _get(feat_cfg, "MINIBOOTSTRAP.RPN.SHUFFLE_NEGATIVES", False)
+        ),
     )
 
     det_cfg = DetectorConfig(
