@@ -101,6 +101,7 @@ def main(argv=None):
         iou_thresholds=extras["iou_thresholds"],
         use_07_metric=extras["use_07_metric"],
         min_size=extras["min_size_test"], max_size=extras["max_size_test"],
+        eval_segm_with_gt_bboxes=args.eval_segm_with_gt_bboxes,
     )
     for k, v in results.items():
         if "map" in k:

@@ -239,9 +239,12 @@ class HarvestAccumulator:
         det_batch_size: int = 2000,
         segm_batch_size: int = 20000,
         shuffle_negatives: bool = True,
+        rpn_shuffle_negatives: Optional[bool] = None,
         with_rpn: bool = True,
         with_mask: bool = True,
     ) -> Dict:
+        if rpn_shuffle_negatives is None:
+            rpn_shuffle_negatives = shuffle_negatives
         rpn_dim, det_dim, mask_dim = self.dims
         out: Dict = {
             "average_recall": float(np.mean(self.ar_values)) if self.ar_values else 0.0
@@ -249,7 +252,7 @@ class HarvestAccumulator:
         if with_rpn:
             out["rpn"] = self.finalize_head(
                 self.rpn_pools, rpn_dim, rpn_iterations, rpn_batch_size,
-                shuffle_negatives,
+                rpn_shuffle_negatives,
             )
             out["rpn"]["coxy"] = self._coxy(self.rpn_coxy, rpn_dim)
         out["det"] = self.finalize_head(

@@ -194,6 +194,25 @@ def shuffle_split(key: jax.Array, pool: Pool, iterations: int, batch_size: int):
     return jax.vmap(per_class)(keys, pool.rows, pool.counts)
 
 
+def interleave_split(pool: Pool, iterations: int, batch_size: int):
+    """Round-robin deal of the arrival-order pool across batches — the
+    SHUFFLE_NEGATIVES=False device analog of the reference's per-image
+    round-robin filling (``rpn_getProposals.py:290-340``): every batch mixes
+    rows from across the whole image stream. (The host accumulator keeps the
+    exact per-image semantics; HBM reservoirs do not retain image
+    boundaries, so a stride interleave is the on-device equivalent.)"""
+    c, cap, d = pool.rows.shape
+    b_idx = jnp.arange(iterations)[:, None]
+    s_idx = jnp.arange(batch_size)[None, :]
+    idx = (s_idx * iterations + b_idx).reshape(-1)  # batch b slot s <- s*I + b
+    rows = pool.rows[:, jnp.minimum(idx, cap - 1)].reshape(
+        c, iterations, batch_size, d
+    )
+    limit = jnp.minimum(pool.counts, cap)[:, None]
+    valid = (idx[None] < limit).reshape(c, iterations, batch_size)
+    return rows, valid
+
+
 def arrival_split(pool: Pool, iterations: int, batch_size: int):
     """Arrival-order split (segmentation pools, SEGMENTATION.BATCH_SIZE)."""
     c, cap, d = pool.rows.shape

@@ -110,11 +110,19 @@ def detect(
     image_size: jax.Array,  # (width, height) true size
     cfg: DetectorConfig = DetectorConfig(),
     with_masks: bool = True,
+    gt_boxes: Optional[jax.Array] = None,  # [K, 4] canvas coords
+    gt_labels: Optional[jax.Array] = None,  # [K]
+    gt_valid: Optional[jax.Array] = None,  # [K] bool
 ) -> Tuple[Detections, Optional[jax.Array], jax.Array, jax.Array]:
     """Full single-image inference.
 
     Returns (detections, mask_probs [D,14,14] or None,
              proposals [post_nms,4], proposals_valid).
+
+    When ``gt_boxes`` is given, the detections are REPLACED by the GT boxes
+    (labels from GT, score 1) before the mask head — the
+    ``--eval_segm_with_gt_bboxes`` mask-quality protocol
+    (``roi_heads.py:32-37``).
     """
     from online_detection_tpu.data.transforms import normalize_canvas
 
@@ -147,6 +155,13 @@ def detect(
         nms_thresh=cfg.nms_thresh,
         detections_per_img=cfg.detections_per_img,
     )
+    if gt_boxes is not None:
+        dets = Detections(
+            boxes=gt_boxes * gt_valid[:, None],
+            scores=gt_valid.astype(jnp.float32),
+            labels=gt_labels.astype(jnp.int32) * gt_valid,
+            valid=gt_valid,
+        )
 
     mask_probs = None
     if with_masks and online.mask is not None:

@@ -178,6 +178,19 @@ class OnlineRegionClassifier(abstract.RegionClassifierAbstract):
                 )
         return self.models
 
+    def updateModel(self, cache: Dict) -> FalkonModel:
+        """Retrain one class's FALKON from a {pos, neg} cache
+        (``OnlineRegionClassifier.py:81-94``) — the public incremental-
+        retraining surface; also the per-step primitive of the facade's
+        minibootstrap and the IncrementalTeacher demo."""
+        x_pos = np.asarray(cache["pos"], np.float32)
+        x_neg = np.asarray(cache["neg"], np.float32)
+        x = np.concatenate([x_pos, x_neg], axis=0)
+        y = np.concatenate(
+            [np.ones(len(x_pos), np.float32), -np.ones(len(x_neg), np.float32)]
+        )
+        return self.classifier.train(x, y, sigma=self.sigma, lam=self.lam)
+
     def testRegionClassifier(self, model: FalkonModel, test_boxes: List[Dict]):
         """Score cached test_boxes (``OnlineRegionClassifier.py:182-219``):
         per image, z-score the non-GT rows and emit [N, C+1] scores with

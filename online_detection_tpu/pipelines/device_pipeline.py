@@ -12,6 +12,7 @@ compatible path for feature save/load and CPU debugging.
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict, Optional, Tuple
 
@@ -42,6 +43,96 @@ from online_detection_tpu.solvers.rls import rls_fit_grouped
 from online_detection_tpu.utils.stats import zscore
 
 
+def _gate_chunk(chunk, valid):
+    """Zero a padded image's contribution: clear every validity mask and the
+    AR term (batch tails are padded to the static batch size)."""
+    g = lambda m: m & valid
+    rpn = chunk.rpn
+    if rpn is not None:
+        rpn = rpn._replace(pos_valid=g(rpn.pos_valid), neg_valid=g(rpn.neg_valid))
+    det = chunk.det._replace(
+        pos_valid=g(chunk.det.pos_valid),
+        neg_valid=g(chunk.det.neg_valid),
+        coxy_valid=g(chunk.det.coxy_valid),
+    )
+    mask = chunk.mask
+    if mask is not None:
+        mask = mask._replace(
+            pos_valid=g(mask.pos_valid), neg_valid=g(mask.neg_valid),
+            labels_valid=g(mask.labels_valid),
+        )
+    ar = jnp.where(valid, chunk.average_recall, 0.0)
+    return chunk._replace(rpn=rpn, det=det, mask=mask, average_recall=ar)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_batched_trunk(dcfg: DetectorConfig, with_mask_features: bool, mesh,
+                       axis_name: str):
+    """Image-batched (and optionally mesh-sharded) harvest trunk.
+
+    The conv trunk is vmapped over a stacked canvas batch — on one chip this
+    batches the MXU work (SURVEY.md §7 "batch the CNN pass"); on a mesh the
+    batch axis is sharded over devices (data parallelism, params replicated)
+    and XLA runs B/n_dev images per device with zero collectives.
+    """
+    fn = jax.vmap(
+        lambda p, orpn, a, im, sz, gb, gv: harvest_trunk(
+            p, orpn, a, im, sz, gb, gv, dcfg,
+            with_mask_features=with_mask_features,
+        ),
+        in_axes=(None, None, None, 0, 0, 0, 0),
+    )
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(
+        fn, in_shardings=(repl, repl, repl, batch, batch, batch, batch)
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_batched_chunks_accumulate(hcfg: HarvestConfig, with_rpn: bool,
+                                   num_classes: int):
+    """Batched sampling stages + sequential reservoir fold, one dispatch.
+
+    harvest_chunks is vmapped over the image batch; the reservoir append is
+    inherently sequential (each image's rows land after the previous
+    image's), so the fold is a ``lax.scan`` over the batch axis — still one
+    program, state donated.
+    """
+    def _one(k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm):
+        return harvest_chunks(
+            k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm, hcfg,
+            with_rpn=with_rpn,
+        )
+
+    vchunks = jax.vmap(
+        _one,
+        in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, 0, 0, 0, 0),
+    )
+
+    def _batched(st, keys, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm,
+                 img_valid):
+        chunks = vchunks(keys, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm)
+
+        def body(s, xs):
+            chunk, ok = xs
+            s2 = dacc.accumulate(s, _gate_chunk(chunk, ok), num_classes)
+            # accumulate counts every call; subtract padded images
+            s2 = s2._replace(
+                n_images=s2.n_images - (~ok).astype(jnp.int32)
+            )
+            return s2, None
+
+        st, _ = jax.lax.scan(body, st, (chunks, img_valid))
+        return st
+
+    return jax.jit(_batched, donate_argnums=(0,))
+
+
 def harvest_dataset_device(
     key: jax.Array,
     params,
@@ -54,8 +145,17 @@ def harvest_dataset_device(
     output_dir: Optional[str] = None,
     min_size: int = 600,
     max_size: int = 1333,
+    batch_size: int = 1,
+    mesh=None,
 ) -> Tuple[dacc.DeviceReservoirs, Dict]:
-    """Streaming pass with HBM reservoirs. Returns (reservoirs, meta)."""
+    """Streaming pass with HBM reservoirs. Returns (reservoirs, meta).
+
+    ``batch_size`` > 1 stacks canvases and runs the conv trunk image-batched
+    (one MXU-friendly program instead of B dispatches); with ``mesh`` the
+    batch axis is sharded across devices (data parallelism, SURVEY.md §2.2).
+    Host decode/resize overlaps device compute via the native prefetcher
+    (``data/loader.CanvasLoader``).
+    """
     t0 = time.time()
     n_images = len(dataset)
     npick = int(np.ceil(cfg.batch_size * cfg.iterations / max(n_images, 1)))
@@ -82,30 +182,21 @@ def harvest_dataset_device(
         with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
     )
 
-    jit_trunk = jax.jit(
-        lambda p, orpn, a, im, sz, gb, gv: harvest_trunk(
-            p, orpn, a, im, sz, gb, gv, dcfg,
-            with_mask_features=cfg.with_segmentation,
-        )
+    from online_detection_tpu.data.loader import CanvasLoader
+
+    b = max(1, batch_size)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        b = int(np.ceil(b / n_dev)) * n_dev  # batch must tile the mesh
+    jit_trunk = _jit_batched_trunk(dcfg, cfg.with_segmentation, mesh, "mb")
+    jit_chunks_acc = _jit_batched_chunks_accumulate(
+        hcfg, cfg.with_rpn, cfg.num_classes
     )
-    def _chunks_acc(st, k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm):
-        chunk = harvest_chunks(
-            k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm, hcfg,
-            with_rpn=cfg.with_rpn,
-        )
-        return dacc.accumulate(st, chunk, cfg.num_classes)
 
-    # chunks + accumulate fused into one dispatch (no conv ops -> compiles
-    # fine); state is donated so reservoirs update in place
-    jit_chunks_acc = jax.jit(_chunks_acc, donate_argnums=(0,))
-
-    keys = jax.random.split(key, n_images)
-    for i in range(n_images):
+    def _host_item(loader, i):
+        """Decode + GT assembly for one image (all host-side, prefetched)."""
         anno = dataset.get_annotation(i)
-        rgb = dataset.load_image(i)
-        canvas, scale, (sw, sh) = transforms.preprocess_image_u8(
-            rgb, canvas_hw, min_size, max_size
-        )
+        canvas, scale, (sw, sh) = loader.get(i)
         boxes = transforms.scale_boxes(anno.boxes, scale)
         g = len(boxes)
         gb = np.zeros((gt_cap, 4), np.float32)
@@ -120,17 +211,34 @@ def harvest_dataset_device(
             from online_detection_tpu.data.mask_project import project_masks_for_image
 
             masks = dataset.load_masks(i, anno)
-            gm = jnp.asarray(project_masks_for_image(masks, gb[:g], scale, gt_cap))
+            gm = project_masks_for_image(masks, gb[:g], scale, gt_cap)
         vis = anchor_visibility(np.asarray(anchors), (sw, sh))
-        tr = jit_trunk(
-            params, online_rpn, anchors, jnp.asarray(canvas),
-            jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gv),
-        )
-        state = jit_chunks_acc(
-            state, keys[i], *tr, anchors, jnp.asarray(vis),
-            jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
-            jnp.asarray(gv), gm,
-        )
+        return canvas, (sw, sh), gb, gl, gv, gm, vis
+
+    keys = jax.random.split(key, int(np.ceil(n_images / b)) * b).reshape(-1, b)
+    with CanvasLoader(dataset, canvas_hw, min_size, max_size) as loader:
+        for lo in range(0, n_images, b):
+            items = [_host_item(loader, i) for i in range(lo, min(lo + b, n_images))]
+            n_real = len(items)
+            while len(items) < b:  # pad the tail batch (gated on device)
+                items.append(items[-1])
+            stack = lambda k: jnp.asarray(np.stack([it[k] for it in items]))
+            canvases = stack(0)
+            sizes = jnp.asarray(np.asarray([it[1] for it in items], np.int32))
+            gbs, gls, gvs = stack(2), stack(3), stack(4)
+            gms = (
+                jnp.asarray(np.stack([it[5] for it in items]))
+                if cfg.with_segmentation else None
+            )
+            viss = stack(6)
+            img_valid = jnp.asarray(np.arange(b) < n_real)
+            tr = jit_trunk(
+                params, online_rpn, anchors, canvases, sizes, gbs, gvs
+            )
+            state = jit_chunks_acc(
+                state, keys[lo // b], *tr, anchors, viss, sizes,
+                gbs, gls, gvs, gms, img_valid,
+            )
 
     dt = time.time() - t0
     _write_result(
@@ -143,6 +251,11 @@ def harvest_dataset_device(
         "extraction_time": dt,
         "average_recall": float(state.ar_sum / jnp.maximum(state.n_images, 1)),
     }
+    # AR over the harvested stream (``feature_proposal_extractor.py:308-313``)
+    _write_result(
+        output_dir,
+        "Average Recall (AR): {} \n \n".format(meta["average_recall"]),
+    )
     return state, meta
 
 
@@ -155,11 +268,16 @@ def train_online_modules_device(
     """Solver stages straight from the HBM reservoirs."""
     k_shuf, k_stats, k_rpn, k_det, k_seg = jax.random.split(key, 5)
 
+    def _split_negatives(k, pool, shuffle):
+        if shuffle:
+            return dacc.shuffle_split(k, pool, cfg.iterations, cfg.batch_size)
+        return dacc.interleave_split(pool, cfg.iterations, cfg.batch_size)
+
     online_rpn = None
     if cfg.with_rpn and state.rpn_neg is not None:
-        neg, neg_valid = dacc.shuffle_split(
-            jax.random.fold_in(k_shuf, 0), state.rpn_neg, cfg.iterations,
-            cfg.batch_size,
+        neg, neg_valid = _split_negatives(
+            jax.random.fold_in(k_shuf, 0), state.rpn_neg,
+            cfg.rpn_shuffle_negatives,
         )
         pos = state.rpn_pos.rows
         pos_valid = state.rpn_pos.valid_mask()
@@ -234,9 +352,8 @@ def train_online_modules_device(
             rows=pos, counts=jnp.sum(pos_valid, axis=1).astype(jnp.int32)
         )
 
-    neg, neg_valid = dacc.shuffle_split(
-        jax.random.fold_in(k_shuf, 1), state.det_neg, cfg.iterations,
-        cfg.batch_size,
+    neg, neg_valid = _split_negatives(
+        jax.random.fold_in(k_shuf, 1), state.det_neg, cfg.shuffle_negatives
     )
     stats_det = dacc.device_feature_stats(
         jax.random.fold_in(k_stats, 1), det_pos_pool, neg, neg_valid,

