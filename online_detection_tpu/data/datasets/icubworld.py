@@ -158,10 +158,14 @@ class ICubWorldDataset:
     def get_annotation(self, index: int) -> ImageAnnotation:
         return self.parse_annotation(self.ids[index])
 
+    def image_path(self, index: int) -> str:
+        """Filesystem path of image ``index`` (native prefetcher input)."""
+        return self._imgpath % self.ids[index]
+
     def load_image(self, index: int) -> np.ndarray:
         from PIL import Image
 
-        return np.asarray(Image.open(self._imgpath % self.ids[index]).convert("RGB"))
+        return np.asarray(Image.open(self.image_path(index)).convert("RGB"))
 
     def load_masks(self, index: int, anno: Optional[ImageAnnotation] = None) -> np.ndarray:
         """[G, H, W] float binary masks. The mask PNG holds one binary mask

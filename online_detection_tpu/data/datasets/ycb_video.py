@@ -125,11 +125,15 @@ class YCBVideoDataset:
     def get_annotation(self, index: int) -> ImageAnnotation:
         return self._parse(self.ids[index])
 
+    def image_path(self, index: int) -> str:
+        """Filesystem path of image ``index`` (native prefetcher input)."""
+        scene, frame = self.ids[index].split()
+        return self._imgpath % (scene, frame)
+
     def load_image(self, index: int) -> np.ndarray:
         from PIL import Image
 
-        scene, frame = self.ids[index].split()
-        return np.asarray(Image.open(self._imgpath % (scene, frame)).convert("RGB"))
+        return np.asarray(Image.open(self.image_path(index)).convert("RGB"))
 
     def load_masks(self, index: int, anno: Optional[ImageAnnotation] = None) -> np.ndarray:
         from PIL import Image

@@ -187,6 +187,60 @@ def params_from_torch_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def activation_checksums(params: Dict[str, Any], seed: int = 0,
+                         hw=(128, 160)) -> Dict[str, Dict[str, float]]:
+    """Per-stage activation statistics on a fixed synthetic image — the
+    real-weights smoke validation for the converter (run via
+    ``experiments/weights_smoke.py --weights <ckpt>``). Two checkpoints that
+    convert identically produce identical checksums; a layout/folding bug in
+    any stage shifts its row. Stages mirror the reference forward
+    (``generalized_rcnn.py:34-64``)."""
+    import jax
+
+    from online_detection_tpu.models import resnet
+    from online_detection_tpu.models.heads import mask_deconv
+    from online_detection_tpu.models.rpn import rpn_features, rpn_pretrained
+    from online_detection_tpu.ops.roi_align import roi_align
+
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    image = jnp.asarray(rng.uniform(-120, 120, size=(1, h, w, 3)).astype(np.float32))
+
+    out = {}
+
+    def record(name, x):
+        x = np.asarray(jax.device_get(x), np.float64)
+        out[name] = {
+            "shape": tuple(x.shape),
+            "mean": float(x.mean()),
+            "std": float(x.std()),
+            "absmax": float(np.abs(x).max()),
+        }
+        return x
+
+    c4 = resnet.backbone_c4(params["backbone"], image)
+    record("backbone_c4", c4)
+    t = rpn_features(params["rpn"], c4)
+    record("rpn_conv", t)
+    logits, deltas = rpn_pretrained(params["rpn"], t)
+    record("rpn_logits", logits)
+    record("rpn_deltas", deltas)
+    boxes = jnp.asarray(
+        [[0.0, 0.0, w / 2, h / 2], [w / 4, h / 4, w - 1.0, h - 1.0]], jnp.float32
+    )
+    pooled = roi_align(c4[0], boxes, 14, 14, 1.0 / 16.0)
+    record("roi_align_14x14", pooled)
+    feats = resnet.res5_head(params["backbone"], pooled)
+    record("res5_avgpool_2048", feats)
+    if params.get("mask_head"):
+        res5map = resnet.res5_feature_map(params["backbone"], pooled)
+        record("mask_deconv_256", mask_deconv(params["mask_head"], res5map))
+    if params.get("box_predictor"):
+        bp = params["box_predictor"]
+        record("cls_logits", feats @ bp["cls_w"] + bp["cls_b"])
+    return out
+
+
 def load_checkpoint(path: str) -> Dict[str, Any]:
     """Dispatch on extension: .pkl (Caffe2 Detectron) or .pth (torch)."""
     if path.endswith(".pkl"):

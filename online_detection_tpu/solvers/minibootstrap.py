@@ -119,6 +119,16 @@ def _train_one_class(
     return centers, alpha, exists
 
 
+# ONE jitted program for all callers (a fresh jit wrapper per call would
+# recompile the whole minibootstrap graph on every invocation); params
+# determines shapes (m) -> static; sigma stays a Python float on the model
+# so downstream Pallas dispatch keeps it compile-time constant
+_train_all_classes = jax.jit(
+    jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None)),
+    static_argnums=(5,),
+)
+
+
 def train_classifiers_minibootstrap(
     key: jax.Array,
     pos: jax.Array,  # [C, P, d]
@@ -130,10 +140,7 @@ def train_classifiers_minibootstrap(
     """Train all C classifiers concurrently. Returns a class-batched model."""
     c = pos.shape[0]
     keys = jax.random.split(key, c)
-    fn = jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None))
-    # params determines shapes (m) -> static; sigma stays a Python float on
-    # the model so downstream Pallas dispatch keeps it compile-time constant
-    centers, alpha, exists = jax.jit(fn, static_argnums=(5,))(
+    centers, alpha, exists = _train_all_classes(
         keys, pos, pos_valid, neg, neg_valid, params
     )
     return FalkonModel(centers, alpha, exists, params.sigma)
