@@ -211,6 +211,77 @@ def main():
         stage_times[name] = warm_s
         head_thunks[name] = thunk
 
+    # ---- stage 6: harvest throughput (batched trunk + chunks + reservoirs) ----
+    if _remaining(deadline) > 120:
+        try:
+            from online_detection_tpu.engine.harvest import HarvestConfig
+            from online_detection_tpu.models.anchors import (
+                anchor_visibility,
+                grid_anchors,
+            )
+            from online_detection_tpu.models.detector import (
+                DetectorConfig,
+                init_detector_params,
+            )
+            from online_detection_tpu.engine import device_accumulate as dacc
+            from online_detection_tpu.pipelines.device_pipeline import (
+                _jit_batched_chunks_accumulate,
+                _jit_batched_trunk,
+            )
+
+            bsz, hh, ww, gt_cap = 8, 608, 800, 8
+            dcfg = DetectorConfig()
+            hcfg = HarvestConfig(negatives_to_pick=64, gt_cap=gt_cap)
+            params = init_detector_params(jax.random.key(0), 15, 22)
+            anchors = jnp.asarray(grid_anchors(hh // 16, ww // 16))
+            vis = jnp.asarray(
+                np.broadcast_to(
+                    anchor_visibility(np.asarray(anchors), (ww, hh)),
+                    (bsz, anchors.shape[0]),
+                ).copy()
+            )
+            canv = jnp.asarray(
+                rng.integers(0, 255, size=(bsz, hh, ww, 3), dtype=np.uint8)
+            )
+            sizes = jnp.broadcast_to(jnp.asarray([ww, hh]), (bsz, 2))
+            gb = jnp.asarray(
+                np.tile(np.array([[10, 10, 200, 200]] * gt_cap, np.float32),
+                        (bsz, 1, 1))
+            )
+            gl = jnp.ones((bsz, gt_cap), jnp.int32)
+            gv = jnp.ones((bsz, gt_cap), bool)
+            gm = jnp.ones((bsz, gt_cap, 14, 14), jnp.float32)
+            img_valid = jnp.ones((bsz,), bool)
+            state = dacc.init_reservoirs(
+                15, 21, 20000, rpn_pos_cap=4096, det_pos_cap=4096,
+                coxy_cap=30000, mask_cap=40000,
+                chunk_sizes={"npick": 64, "rpn_pos": hcfg.rpn_pos_cap,
+                             "gt_cap": gt_cap, "coxy": hcfg.coxy_cap,
+                             "mask_pix": hcfg.mask_pix_cap},
+                with_rpn=True, with_mask=True,
+            )
+            jt = _jit_batched_trunk(dcfg, True, None, "mb")
+            jca = _jit_batched_chunks_accumulate(hcfg, True, 21)
+            keys = jax.random.split(jax.random.key(1), bsz)
+
+            def harvest_batch(st):
+                tr = jt(params, None, anchors, canv, sizes, gb, gv)
+                return jca(st, keys, *tr, anchors, vis, sizes, gb, gl, gv,
+                           gm, img_valid)
+
+            state = harvest_batch(state)  # compile + warm
+            jax.device_get(state.n_images)
+            n_batches = 4
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                state = harvest_batch(state)
+            jax.device_get(state.n_images)
+            dt = time.perf_counter() - t0
+            ips = bsz * n_batches / dt
+            emit("harvest_throughput_600px", ips, "imgs/s", batch=bsz)
+        except Exception as e:  # never let the throughput stage kill the bench
+            print(f"# bench: harvest stage failed: {e!r}", file=sys.stderr)
+
     # ---- headline: the full on-line training step ----
     complete = len(stage_times) == 5
     if complete and _remaining(deadline) > 2.5 * sum(stage_times.values()) + 10:

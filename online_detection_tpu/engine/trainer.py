@@ -18,6 +18,7 @@ mask (TPU-friendly: no parameter surgery inside jit).
 
 from __future__ import annotations
 
+import functools
 import re
 import time
 from typing import Dict, NamedTuple, Optional
@@ -163,7 +164,11 @@ def training_loss(
     return total
 
 
-def make_train_step(anchors, cfg: SGDConfig, with_mask: bool):
+@functools.lru_cache(maxsize=None)
+def make_train_step(cfg: SGDConfig, with_mask: bool):
+    """Optimizer + jitted SGD step, cached per static config — anchors are a
+    step ARGUMENT (not a closure) so every canvas size reuses one program
+    per (cfg, with_mask) and repeated do_train calls never recompile."""
     tx = optax.chain(
         optax.clip_by_global_norm(35.0),  # batch=1 SGD stability guard
         optax.add_decayed_weights(cfg.weight_decay),
@@ -171,7 +176,7 @@ def make_train_step(anchors, cfg: SGDConfig, with_mask: bool):
     )
 
     @jax.jit
-    def step(params, opt_state, grad_mask, key, batch):
+    def step(params, opt_state, grad_mask, key, batch, anchors):
         loss, grads = jax.value_and_grad(
             lambda p: training_loss(p, key, batch, anchors, cfg, with_mask)
         )(params)
@@ -219,15 +224,34 @@ def do_train(
 
     ch, cw = canvas_hw
     anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
-    tx, step_fn = make_train_step(anchors, cfg, with_mask)
+    # freeze flags act only through the gradient MASK (a step argument), not
+    # the program: drop them from the jit cache key so fine-tune variants
+    # share the full-train program
+    tx, step_fn = make_train_step(
+        cfg._replace(
+            freeze_backbone=False,
+            freeze_rpn_except_logits=False,
+            freeze_heads_except_predictor=False,
+        ),
+        with_mask,
+    )
     opt_state = tx.init(params)
     gmask = freeze_mask(params, cfg)
 
+    from online_detection_tpu.utils.telemetry import MetricLogger, setup_logger
+
+    logger = setup_logger("online_detection_tpu.trainer", checkpoint_dir)
+    meters = MetricLogger()
+    logger.info(
+        "start SGD: %d iters over %d images (budget %s)",
+        cfg.max_iter, len(dataset), time_budget,
+    )
     n = len(dataset)
     order = np.random.default_rng(0).permutation(n)
     t0 = time.time()
     losses_hist = []
     from_feat = hasattr(dataset, "load_features")
+    t_iter = time.time()
     for it in range(cfg.max_iter):
         i = int(order[it % n])
         anno = dataset.get_annotation(i)
@@ -266,11 +290,16 @@ def do_train(
             batch["gt_masks"] = jnp.asarray(gm)
 
         params, opt_state, loss = step_fn(
-            params, opt_state, gmask, jax.random.fold_in(key, it), batch
+            params, opt_state, gmask, jax.random.fold_in(key, it), batch,
+            anchors,
         )
         losses_hist.append(float(loss))
+        # reference MetricLogger line: ETA + smoothed loss + peak device mem
+        # (``engine/trainer.py:116-133``)
+        meters.update(time=time.time() - t_iter, loss=float(loss))
+        t_iter = time.time()
         if it % log_every == 0:
-            print(f"iter {it}: loss {float(loss):.4f}", flush=True)
+            logger.info(meters.log_line(it, cfg.max_iter))
         # periodic checkpoints (``checkpointer.save("model_{:07d}")``,
         # ``trainer.py:194-195``) and validation (``trainer.py:196-230``)
         if checkpoint_period and checkpoint_dir and it > 0 and it % checkpoint_period == 0:
@@ -284,6 +313,7 @@ def do_train(
         if val_fn and val_period and it > 0 and it % val_period == 0:
             val_fn(params, it)
         if time_budget is not None and time.time() - t0 > time_budget:
-            print(f"time budget reached at iter {it}")
+            logger.info("time budget reached at iter %d", it)
             break
+    logger.info("done: %d iters in %.1fs", len(losses_hist), time.time() - t0)
     return params, losses_hist

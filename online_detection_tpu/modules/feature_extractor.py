@@ -122,9 +122,63 @@ class FeatureExtractor(abstract.FeatureExtractorAbstract):
         self.params = params
         return params
 
-    def testFeatureExtractor(self, output_dir=None):
-        raise NotImplementedError(
-            "use experiments/run_experiment_test_feature_task.py"
+    def testFeatureExtractor(self, output_dir=None, dataset=None,
+                             score_thresh: float = 0.05,
+                             nms_thresh: float = 0.5):
+        """Evaluate the (pretrained/SGD-trained) extractor itself with the
+        stock softmax path — ``TesterFeatureTask``
+        (``feature_extractor_tester/test_feature_task.py:66-125``). Returns
+        the VOC results dict; also writes result.txt when output_dir given."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from online_detection_tpu.data import transforms
+        from online_detection_tpu.data.evaluation import voc_eval
+        from online_detection_tpu.data.loader import CanvasLoader
+        from online_detection_tpu.models.anchors import grid_anchors
+        from online_detection_tpu.models.detector import detect_pretrained
+
+        ds = dataset if dataset is not None else self.dataset
+        ch, cw = self.canvas_hw
+        anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
+        mh = self.params.get("mask_head") or {}
+        with_masks = bool(self.extras.get("mask_on", False)) and "logits_w" in mh
+        jit_detect = jax.jit(
+            lambda p, a, im, sz: detect_pretrained(
+                p, a, im, sz, self.det_cfg, with_masks=with_masks,
+                score_thresh=score_thresh, nms_thresh=nms_thresh,
+            )
+        )
+        predictions, ground_truths = [], []
+        with CanvasLoader(ds, self.canvas_hw, self.min_size, self.max_size) as ld:
+            for i in range(len(ds)):
+                anno = ds.get_annotation(i)
+                canvas, scale, (sw, sh) = ld.get(i)
+                dets, mask_probs, _, _ = jit_detect(
+                    self.params, anchors, jnp.asarray(canvas),
+                    jnp.asarray([sw, sh]),
+                )
+                dets = jax.device_get(dets)
+                v = dets.valid
+                pred = {
+                    "boxes": dets.boxes[v] / scale,
+                    "scores": dets.scores[v],
+                    "labels": dets.labels[v],
+                }
+                if with_masks and mask_probs is not None:
+                    pred["masks"] = np.asarray(jax.device_get(mask_probs))[v]
+                predictions.append(pred)
+                gt = {"boxes": anno.boxes, "labels": anno.labels,
+                      "difficult": anno.difficult}
+                if with_masks:
+                    gt["masks"] = ds.load_masks(i, anno)
+                ground_truths.append(gt)
+        return voc_eval.evaluate(
+            predictions, ground_truths, ds.classes,
+            iou_thresholds=self.extras.get("iou_thresholds", (0.5,)),
+            use_07_metric=self.extras.get("use_07_metric", True),
+            evaluate_segmentation=with_masks,
+            output_dir=output_dir,
         )
 
 

@@ -215,8 +215,16 @@ def harvest_dataset_device(
         vis = anchor_visibility(np.asarray(anchors), (sw, sh))
         return canvas, (sw, sh), gb, gl, gv, gm, vis
 
+    from online_detection_tpu.utils.telemetry import setup_logger, teardown_logger
+
+    logger = setup_logger("online_detection_tpu.harvest", output_dir)
     keys = jax.random.split(key, int(np.ceil(n_images / b)) * b).reshape(-1, b)
     with CanvasLoader(dataset, canvas_hw, min_size, max_size) as loader:
+        logger.info(
+            "harvest (device reservoirs): %d images, batch %d, mesh %s, "
+            "native prefetch %s", n_images, b,
+            getattr(mesh, "shape", None), loader.native,
+        )
         for lo in range(0, n_images, b):
             items = [_host_item(loader, i) for i in range(lo, min(lo + b, n_images))]
             n_real = len(items)
@@ -241,6 +249,9 @@ def harvest_dataset_device(
             )
 
     dt = time.time() - t0
+    logger.info("harvest done: %d images in %.1fs (%.1f img/s)",
+                n_images, dt, n_images / max(dt, 1e-9))
+    teardown_logger("online_detection_tpu.harvest")
     _write_result(
         output_dir,
         "Detector's features extracted in: {}min:{}s \n".format(

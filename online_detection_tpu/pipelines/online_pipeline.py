@@ -209,14 +209,14 @@ def harvest_dataset(
     jit_trunk = _jit_harvest_trunk(dcfg, cfg.with_segmentation)
     jit_chunks = _jit_harvest_chunks(hcfg, cfg.with_rpn)
 
+    from online_detection_tpu.data.loader import CanvasLoader
+
     acc = HarvestAccumulator(cfg.num_anchor_classes, cfg.num_classes)
     keys = jax.random.split(key, n_images)
+    loader = CanvasLoader(dataset, canvas_hw, min_size, max_size)
     for i in range(n_images):
         anno = dataset.get_annotation(i)
-        rgb = dataset.load_image(i)
-        canvas, scale, (sw, sh) = transforms.preprocess_image(
-            rgb, canvas_hw, min_size, max_size
-        )
+        canvas, scale, (sw, sh) = loader.get(i)
         boxes = transforms.scale_boxes(anno.boxes, scale)
         g = len(boxes)
         gb = np.zeros((gt_cap, 4), np.float32)
@@ -242,6 +242,7 @@ def harvest_dataset(
             jnp.asarray(gv), jnp.asarray(gm) if gm is not None else None,
         )
         acc.add(chunk)
+    loader.close()
 
     out = acc.finalize(
         rpn_iterations=cfg.iterations, rpn_batch_size=cfg.batch_size,
@@ -440,54 +441,78 @@ def run_inference(
     ``eval_segm_with_gt_bboxes`` substitutes GT boxes for the detections
     before the mask head (mask-quality-only protocol, ``roi_heads.py:32-37``).
     """
+    from online_detection_tpu.data.loader import CanvasLoader
+    from online_detection_tpu.utils.telemetry import (
+        Timer,
+        profile_trace,
+        setup_logger,
+        teardown_logger,
+    )
+
     ch, cw = canvas_hw
     anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
     with_masks = with_masks and online.mask is not None
     jit_detect = _jit_detect(dcfg, with_masks, eval_segm_with_gt_bboxes)
 
+    logger = setup_logger("online_detection_tpu.inference", output_dir)
+    logger.info(
+        "Start evaluation on %d images (masks=%s, gt_bboxes=%s)",
+        len(dataset), with_masks, eval_segm_with_gt_bboxes,
+    )
+    inference_timer = Timer()
+    loader_ctx = CanvasLoader(dataset, canvas_hw, min_size, max_size)
+    trace_ctx = profile_trace(os.environ.get("ODTPU_PROFILE_DIR"))
+
     predictions, ground_truths = [], []
     t0 = time.time()
-    for i in range(len(dataset)):
-        anno = dataset.get_annotation(i)
-        rgb = dataset.load_image(i)
-        canvas, scale, (sw, sh) = transforms.preprocess_image_u8(
-            rgb, canvas_hw, min_size, max_size
-        )
-        if eval_segm_with_gt_bboxes:
-            g = min(len(anno.boxes), gt_cap)
-            gb = np.zeros((gt_cap, 4), np.float32)
-            gb[:g] = transforms.scale_boxes(anno.boxes, scale)[:g]
-            gl = np.zeros((gt_cap,), np.int32)
-            gl[:g] = anno.labels[:g]
-            gv = np.arange(gt_cap) < g
-            dets, mask_probs, _, _ = jit_detect(
-                params, online, anchors, jnp.asarray(canvas),
-                jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
-                jnp.asarray(gv),
-            )
-        else:
-            dets, mask_probs, _, _ = jit_detect(
-                params, online, anchors, jnp.asarray(canvas), jnp.asarray([sw, sh])
-            )
-        dets = jax.device_get(dets)
-        v = dets.valid
-        pred = {
-            "boxes": dets.boxes[v] / scale,  # back to original image coords
-            "scores": dets.scores[v],
-            "labels": dets.labels[v],
-        }
-        if with_masks and mask_probs is not None:
-            pred["masks"] = np.asarray(jax.device_get(mask_probs))[v]
-        predictions.append(pred)
-        gt = {
-            "boxes": anno.boxes,
-            "labels": anno.labels,
-            "difficult": anno.difficult,
-        }
-        if with_masks:
-            gt["masks"] = dataset.load_masks(i, anno)
-        ground_truths.append(gt)
+    with loader_ctx as loader, trace_ctx:
+        for i in range(len(dataset)):
+            anno = dataset.get_annotation(i)
+            canvas, scale, (sw, sh) = loader.get(i)
+            inference_timer.tic()
+            if eval_segm_with_gt_bboxes:
+                g = min(len(anno.boxes), gt_cap)
+                gb = np.zeros((gt_cap, 4), np.float32)
+                gb[:g] = transforms.scale_boxes(anno.boxes, scale)[:g]
+                gl = np.zeros((gt_cap,), np.int32)
+                gl[:g] = anno.labels[:g]
+                gv = np.arange(gt_cap) < g
+                dets, mask_probs, _, _ = jit_detect(
+                    params, online, anchors, jnp.asarray(canvas),
+                    jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
+                    jnp.asarray(gv),
+                )
+            else:
+                dets, mask_probs, _, _ = jit_detect(
+                    params, online, anchors, jnp.asarray(canvas),
+                    jnp.asarray([sw, sh]),
+                )
+            dets = jax.device_get(dets)
+            inference_timer.toc()
+            v = dets.valid
+            pred = {
+                "boxes": dets.boxes[v] / scale,  # back to original image coords
+                "scores": dets.scores[v],
+                "labels": dets.labels[v],
+            }
+            if with_masks and mask_probs is not None:
+                pred["masks"] = np.asarray(jax.device_get(mask_probs))[v]
+            predictions.append(pred)
+            gt = {
+                "boxes": anno.boxes,
+                "labels": anno.labels,
+                "difficult": anno.difficult,
+            }
+            if with_masks:
+                gt["masks"] = dataset.load_masks(i, anno)
+            ground_truths.append(gt)
     test_time = time.time() - t0
+    logger.info(
+        "inference done: %.1fs total, %.4fs/img device (%.4fs/img wall)",
+        test_time, inference_timer.average_time,
+        test_time / max(len(dataset), 1),
+    )
+    teardown_logger("online_detection_tpu.inference")
     _write_result(
         output_dir,
         "Average image testing time: {:.4f} seconds.\n".format(

@@ -137,6 +137,9 @@ def test_device_e2e_matches_host_quality(tmp_path, rng):
     cfg = OnlineTrainConfig(
         num_classes=19, det_m=24, rpn_m=24, segm_m=16,
         iterations=2, batch_size=48, segm_batch_size=256,
+        # small HBM-reservoir caps: the 8192-row defaults are sized for real
+        # datasets and make 1.2 GB test buffers on the CPU platform
+        rpn_pos_cap=128, det_pos_cap=64, coxy_cap=512,
     )
     dcfg = DetectorConfig(pre_nms_top_n=150, post_nms_top_n=40, detections_per_img=10)
     state, meta = harvest_dataset_device(
@@ -180,6 +183,9 @@ def test_batched_harvest_matches_unbatched(tmp_path, rng):
     cfg = OnlineTrainConfig(
         num_classes=19, det_m=24, rpn_m=24, segm_m=16,
         iterations=2, batch_size=48, segm_batch_size=256,
+        # small HBM-reservoir caps: the 8192-row defaults are sized for real
+        # datasets and make 1.2 GB test buffers on the CPU platform
+        rpn_pos_cap=128, det_pos_cap=64, coxy_cap=512,
     )
     dcfg = DetectorConfig(pre_nms_top_n=150, post_nms_top_n=40, detections_per_img=10)
     kw = dict(dcfg=dcfg, gt_cap=4, min_size=128, max_size=320)

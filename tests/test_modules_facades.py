@@ -106,3 +106,28 @@ def test_region_refiner_coxy_contract(rng):
     boxes[:, 2:] += boxes[:, :2]
     out = rr.predict(boxes[:, :4], x[:5], (320, 240))
     assert out.shape == (5, 4)
+
+
+def test_feature_extractor_test_method(tmp_path):
+    """FeatureExtractor.testFeatureExtractor evaluates the extractor itself
+    with the stock softmax path (TesterFeatureTask parity)."""
+    from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+    from online_detection_tpu.models.detector import init_detector_params
+    from online_detection_tpu.modules.feature_extractor import FeatureExtractor
+    from tests.fixtures import make_synthetic_icwt
+
+    root = str(tmp_path / "synth")
+    make_synthetic_icwt(root, n_train=2, n_test=2)
+    ds = ICubWorldDataset(root, "Main", "test")
+    params = init_detector_params(jax.random.key(0), 15, 20)
+    rng = np.random.default_rng(0)
+    params["box_predictor"] = {
+        "cls_w": jnp.asarray(rng.normal(0, 0.01, (2048, 20)).astype(np.float32)),
+        "cls_b": jnp.zeros((20,)),
+        "bbox_w": jnp.asarray(rng.normal(0, 0.001, (2048, 80)).astype(np.float32)),
+        "bbox_b": jnp.zeros((80,)),
+    }
+    fe = FeatureExtractor(dataset=ds, params=params, canvas_hw=(128, 192),
+                          min_size=128, max_size=320)
+    results = fe.testFeatureExtractor()
+    assert any(k.endswith("map_0.5") for k in results)
