@@ -132,8 +132,17 @@ def main():
 
     rng = np.random.default_rng(0)
 
+    def dev_normal(key, shape, shift=0.0):
+        """Synthetic data generated ON DEVICE. Uploading NumPy buffers would
+        dominate the bench on the tunneled dev chip (~12 MB/s host link: the
+        860 MB segmentation pool alone costs ~70 s; production PCIe makes
+        this a non-issue, but the bench must not measure the tunnel)."""
+        return jax.jit(
+            lambda k: jax.random.normal(k, shape, jnp.float32) + shift
+        )(jax.random.key(key))
+
     def timed(fn):
-        """(compile+first-run seconds, warm-run seconds) for a thunk.
+        """(setup seconds = compile + any input upload, warm-run seconds).
 
         Completion is forced with ``jax.device_get`` — on the remote axon
         platform ``block_until_ready`` returns before the computation
@@ -150,9 +159,9 @@ def main():
     stage_times = {}  # warm wall-clock per stage, summed into the headline
 
     # ---- stage 1: fused Gaussian-kernel mmv (the inference primitive) ----
-    x_mmv = jnp.asarray(rng.normal(size=(20000, 2048)).astype(np.float32))
-    c_mmv = jnp.asarray(rng.normal(size=(1000, 2048)).astype(np.float32))
-    a_mmv = jnp.asarray(rng.normal(size=(1000,)).astype(np.float32))
+    x_mmv = dev_normal(101, (20000, 2048))
+    c_mmv = dev_normal(102, (1000, 2048))
+    a_mmv = dev_normal(103, (1000,))
     jax.device_get(mmv(x_mmv, c_mmv, a_mmv, 15.0))  # compile + warm
     reps = 50  # amortize the tunnel round-trip out of the per-call number
     t0 = time.perf_counter()
@@ -167,15 +176,15 @@ def main():
 
     # ---- stage 2: grouped RLS refiners (device Cholesky solve) ----
     def rls_stage(n_cls, d, lam, name):
-        xs = jnp.asarray(rng.normal(size=(n_cls * 1000, d)).astype(np.float32))
-        ys = jnp.asarray(rng.normal(size=(n_cls * 1000, 4)).astype(np.float32))
-        cs = jnp.asarray(np.repeat(np.arange(1, n_cls + 1), 1000).astype(np.float32))
+        xs = dev_normal(200 + n_cls, (n_cls * 1000, d))
+        ys = dev_normal(210 + n_cls, (n_cls * 1000, 4))
+        cs = jnp.repeat(jnp.arange(1, n_cls + 1, dtype=jnp.float32), 1000)
         ws = jnp.ones((n_cls * 1000,))
         thunk = lambda: rls_fit_grouped(
             xs, ys, cs, ws, n_cls, lam, device_solve=True
         ).beta
         compile_s, warm_s = timed(thunk)
-        emit(name, warm_s, "s", compile_s=round(compile_s, 2))
+        emit(name, warm_s, "s", setup_s=round(compile_s, 2))
         stage_times[name] = warm_s
         return thunk
 
@@ -186,9 +195,11 @@ def main():
         rls_rpn_thunk = rls_stage(15, 1024, 0.01, "rls_fit_rpn_15x1000")
 
     # ---- stages 3-5: per-head FALKON minibootstrap ----
+    _mk_seed = iter(range(300, 400))
+
     def mk(c, p, i, b, d):
-        pos = jnp.asarray(rng.normal(size=(c, p, d)).astype(np.float32) + 0.5)
-        neg = jnp.asarray(rng.normal(size=(c, i, b, d)).astype(np.float32) - 0.5)
+        pos = dev_normal(next(_mk_seed), (c, p, d), shift=0.5)
+        neg = dev_normal(next(_mk_seed), (c, i, b, d), shift=-0.5)
         return pos, jnp.ones((c, p), bool), neg, jnp.ones((c, i, b), bool)
 
     heads = [
@@ -207,7 +218,7 @@ def main():
         thunk = (lambda d=data, p=params:
                  train_classifiers_minibootstrap(jax.random.key(0), *d, p).alpha)
         compile_s, warm_s = timed(thunk)
-        emit(name, warm_s, "s", compile_s=round(compile_s, 2))
+        emit(name, warm_s, "s", setup_s=round(compile_s, 2))
         stage_times[name] = warm_s
         head_thunks[name] = thunk
 
@@ -252,9 +263,11 @@ def main():
             gv = jnp.ones((bsz, gt_cap), bool)
             gm = jnp.ones((bsz, gt_cap, 14, 14), jnp.float32)
             img_valid = jnp.ones((bsz,), bool)
+            # modest reservoir caps: throughput does not depend on pool size,
+            # and the solver stages' multi-GB buffers are still HBM-resident
             state = dacc.init_reservoirs(
-                15, 21, 20000, rpn_pos_cap=4096, det_pos_cap=4096,
-                coxy_cap=30000, mask_cap=40000,
+                15, 21, 2000, rpn_pos_cap=1024, det_pos_cap=1024,
+                coxy_cap=8000, mask_cap=16000,
                 chunk_sizes={"npick": 64, "rpn_pos": hcfg.rpn_pos_cap,
                              "gt_cap": gt_cap, "coxy": hcfg.coxy_cap,
                              "mask_pix": hcfg.mask_pix_cap},
@@ -279,6 +292,7 @@ def main():
             dt = time.perf_counter() - t0
             ips = bsz * n_batches / dt
             emit("harvest_throughput_600px", ips, "imgs/s", batch=bsz)
+            del state, params, canv  # release HBM before the headline sweep
         except Exception as e:  # never let the throughput stage kill the bench
             print(f"# bench: harvest stage failed: {e!r}", file=sys.stderr)
 

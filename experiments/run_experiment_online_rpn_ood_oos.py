@@ -42,6 +42,10 @@ def parse_args(argv=None):
     parser.add_argument("--config_file_online_rpn_detection_segmentation", type=str,
                         default="config_online_rpn_detection_segmentation_ycbv.yaml")
     parser.add_argument("--minibootstrap_iterations", type=int)
+    parser.add_argument("--images_per_batch", type=int, default=8,
+                        help="Stacked-canvas batch for harvest/inference "
+                        "(the reference is hard-wired to 1; batching is the "
+                        "TPU-native throughput lever)")
     parser.add_argument("--CPU", action="store_true",
                         help="Run solvers on the CPU platform instead of TPU")
     parser.add_argument("--data_root", type=str, default="Data/datasets",
@@ -130,6 +134,7 @@ def main(argv=None):
             jax.random.key(1), params, train_ds, train_cfg, canvas,
             dcfg=det_cfg, output_dir=output_dir,
             min_size=extras["min_size_test"], max_size=extras["max_size_test"],
+            batch_size=args.images_per_batch,
         )
         online = dpipe.train_online_modules_device(
             jax.random.key(2), state, train_cfg, output_dir
@@ -168,6 +173,7 @@ def main(argv=None):
         use_07_metric=extras["use_07_metric"],
         min_size=extras["min_size_test"], max_size=extras["max_size_test"],
         eval_segm_with_gt_bboxes=args.eval_segm_with_gt_bboxes,
+        batch_size=args.images_per_batch,
     )
     for k, v in results.items():
         if k.endswith("map_0.5") or k.endswith("map_0.7"):

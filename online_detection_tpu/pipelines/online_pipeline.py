@@ -146,6 +146,36 @@ def _jit_detect(dcfg: DetectorConfig, with_masks: bool, gt_mode: bool):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_detect_batched(dcfg: DetectorConfig, with_masks: bool, gt_mode: bool,
+                        mesh=None, axis_name: str = "mb"):
+    """Image-batched inference program: detect vmapped over stacked canvases
+    (the reference is hard-wired batch 1, ``TEST.IMS_PER_BATCH: 1``); with a
+    mesh the batch axis is sharded across devices, models replicated."""
+    if gt_mode:
+        fn = jax.vmap(
+            lambda p, o, a, im, sz, gb, gl, gv: detect(
+                p, o, a, im, sz, dcfg, with_masks,
+                gt_boxes=gb, gt_labels=gl, gt_valid=gv,
+            ),
+            in_axes=(None, None, None, 0, 0, 0, 0, 0),
+        )
+        n_batched = 5
+    else:
+        fn = jax.vmap(
+            lambda p, o, a, im, sz: detect(p, o, a, im, sz, dcfg, with_masks),
+            in_axes=(None, None, None, 0, 0),
+        )
+        n_batched = 2
+    if mesh is None:
+        return jax.jit(fn)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    batch = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    return jax.jit(fn, in_shardings=(repl, repl, repl) + (batch,) * n_batched)
+
+
 def _zscore_pools(head: Dict, stats: FeatureStats) -> Tuple[jax.Array, ...]:
     pos = zscore(jnp.asarray(head["pos"]), stats) * head["pos_valid"][..., None]
     neg = zscore(jnp.asarray(head["neg"]), stats) * head["neg_valid"][..., None]
@@ -434,12 +464,16 @@ def run_inference(
     max_size: int = 1333,
     eval_segm_with_gt_bboxes: bool = False,
     gt_cap: int = 20,
+    batch_size: int = 1,
+    mesh=None,
 ):
     """Test loop + VOC evaluation (``engine/inference.py:266-353`` +
     evaluation dispatch). Returns (results dict, predictions).
 
     ``eval_segm_with_gt_bboxes`` substitutes GT boxes for the detections
     before the mask head (mask-quality-only protocol, ``roi_heads.py:32-37``).
+    ``batch_size`` stacks canvases into one vmapped detect dispatch (the
+    reference is hard-wired batch 1); ``mesh`` shards the batch axis.
     """
     from online_detection_tpu.data.loader import CanvasLoader
     from online_detection_tpu.utils.telemetry import (
@@ -452,60 +486,80 @@ def run_inference(
     ch, cw = canvas_hw
     anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
     with_masks = with_masks and online.mask is not None
-    jit_detect = _jit_detect(dcfg, with_masks, eval_segm_with_gt_bboxes)
+    b = max(1, batch_size)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        b = int(np.ceil(b / n_dev)) * n_dev
+    jit_detect = _jit_detect_batched(
+        dcfg, with_masks, eval_segm_with_gt_bboxes, mesh
+    )
 
     logger = setup_logger("online_detection_tpu.inference", output_dir)
     logger.info(
-        "Start evaluation on %d images (masks=%s, gt_bboxes=%s)",
-        len(dataset), with_masks, eval_segm_with_gt_bboxes,
+        "Start evaluation on %d images (masks=%s, gt_bboxes=%s, batch=%d)",
+        len(dataset), with_masks, eval_segm_with_gt_bboxes, b,
     )
     inference_timer = Timer()
     loader_ctx = CanvasLoader(dataset, canvas_hw, min_size, max_size)
     trace_ctx = profile_trace(os.environ.get("ODTPU_PROFILE_DIR"))
 
+    n_images = len(dataset)
     predictions, ground_truths = [], []
     t0 = time.time()
     with loader_ctx as loader, trace_ctx:
-        for i in range(len(dataset)):
-            anno = dataset.get_annotation(i)
-            canvas, scale, (sw, sh) = loader.get(i)
+        for lo in range(0, n_images, b):
+            idxs = list(range(lo, min(lo + b, n_images)))
+            annos = [dataset.get_annotation(i) for i in idxs]
+            loaded = [loader.get(i) for i in idxs]
+            while len(loaded) < b:  # pad the tail batch, results discarded
+                loaded.append(loaded[-1])
+                annos.append(annos[-1])
+            canvases = jnp.asarray(np.stack([c for c, _, _ in loaded]))
+            sizes = jnp.asarray(
+                np.asarray([swh for _, _, swh in loaded], np.int32)
+            )
             inference_timer.tic()
             if eval_segm_with_gt_bboxes:
-                g = min(len(anno.boxes), gt_cap)
-                gb = np.zeros((gt_cap, 4), np.float32)
-                gb[:g] = transforms.scale_boxes(anno.boxes, scale)[:g]
-                gl = np.zeros((gt_cap,), np.int32)
-                gl[:g] = anno.labels[:g]
-                gv = np.arange(gt_cap) < g
-                dets, mask_probs, _, _ = jit_detect(
-                    params, online, anchors, jnp.asarray(canvas),
-                    jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
-                    jnp.asarray(gv),
+                gbs = np.zeros((b, gt_cap, 4), np.float32)
+                gls = np.zeros((b, gt_cap), np.int32)
+                gvs = np.zeros((b, gt_cap), bool)
+                for k, (anno, (_, scale, _)) in enumerate(zip(annos, loaded)):
+                    g = min(len(anno.boxes), gt_cap)
+                    gbs[k, :g] = transforms.scale_boxes(anno.boxes, scale)[:g]
+                    gls[k, :g] = anno.labels[:g]
+                    gvs[k, :g] = True
+                dets_b, mask_b, _, _ = jit_detect(
+                    params, online, anchors, canvases, sizes,
+                    jnp.asarray(gbs), jnp.asarray(gls), jnp.asarray(gvs),
                 )
             else:
-                dets, mask_probs, _, _ = jit_detect(
-                    params, online, anchors, jnp.asarray(canvas),
-                    jnp.asarray([sw, sh]),
+                dets_b, mask_b, _, _ = jit_detect(
+                    params, online, anchors, canvases, sizes
                 )
-            dets = jax.device_get(dets)
+            dets_b = jax.device_get(dets_b)
+            if with_masks and mask_b is not None:
+                mask_b = np.asarray(jax.device_get(mask_b))
             inference_timer.toc()
-            v = dets.valid
-            pred = {
-                "boxes": dets.boxes[v] / scale,  # back to original image coords
-                "scores": dets.scores[v],
-                "labels": dets.labels[v],
-            }
-            if with_masks and mask_probs is not None:
-                pred["masks"] = np.asarray(jax.device_get(mask_probs))[v]
-            predictions.append(pred)
-            gt = {
-                "boxes": anno.boxes,
-                "labels": anno.labels,
-                "difficult": anno.difficult,
-            }
-            if with_masks:
-                gt["masks"] = dataset.load_masks(i, anno)
-            ground_truths.append(gt)
+            for k, i in enumerate(idxs):
+                anno = annos[k]
+                scale = loaded[k][1]
+                v = dets_b.valid[k]
+                pred = {
+                    "boxes": dets_b.boxes[k][v] / scale,  # original coords
+                    "scores": dets_b.scores[k][v],
+                    "labels": dets_b.labels[k][v],
+                }
+                if with_masks and mask_b is not None:
+                    pred["masks"] = mask_b[k][v]
+                predictions.append(pred)
+                gt = {
+                    "boxes": anno.boxes,
+                    "labels": anno.labels,
+                    "difficult": anno.difficult,
+                }
+                if with_masks:
+                    gt["masks"] = dataset.load_masks(i, anno)
+                ground_truths.append(gt)
     test_time = time.time() - t0
     logger.info(
         "inference done: %.1fs total, %.4fs/img device (%.4fs/img wall)",
