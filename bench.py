@@ -292,7 +292,58 @@ def main():
             dt = time.perf_counter() - t0
             ips = bsz * n_batches / dt
             emit("harvest_throughput_600px", ips, "imgs/s", batch=bsz)
-            del state, params, canv  # release HBM before the headline sweep
+            del state  # release reservoirs before the inference stage
+
+            # ---- stage 7: batched inference throughput (the serving path) --
+            from online_detection_tpu.models.heads import (
+                OnlineDetectorModels,
+                OnlineMaskModels,
+            )
+            from online_detection_tpu.models.rpn import OnlineRPNModels
+            from online_detection_tpu.models.detector import OnlineModelSet
+            from online_detection_tpu.pipelines.online_pipeline import (
+                _jit_detect_batched,
+            )
+            from online_detection_tpu.solvers.falkon import FalkonModel
+            from online_detection_tpu.solvers.rls import RLSModel
+            from online_detection_tpu.utils.stats import FeatureStats
+
+            def falkon(seed, c, mm, d, sigma):
+                return FalkonModel(
+                    dev_normal(seed, (c, mm, d)),
+                    dev_normal(seed + 1, (c, mm)) * 0.01,
+                    jnp.ones((c,), bool), sigma,
+                )
+
+            def rls(seed, c, d):
+                eye = jnp.broadcast_to(jnp.eye(4), (c, 4, 4))
+                return RLSModel(dev_normal(seed, (c, d + 1, 4)) * 1e-4,
+                                eye, eye, jnp.zeros((c, 4)),
+                                jnp.ones((c,), bool), jnp.zeros((c, 4)))
+
+            def stats(d):
+                return FeatureStats(jnp.zeros((d,)), jnp.ones((d,)),
+                                    jnp.asarray(20.0))
+
+            online = OnlineModelSet(
+                rpn=OnlineRPNModels(falkon(400, 15, 1000, 1024, 50.0),
+                                    rls(402, 15, 1024), stats(1024)),
+                detector=OnlineDetectorModels(falkon(404, 21, 1000, 2048, 15.0),
+                                              rls(406, 21, 2048), stats(2048)),
+                mask=OnlineMaskModels(falkon(408, 21, 500, 256, 10.0),
+                                      stats(256)),
+            )
+            jd = _jit_detect_batched(dcfg, True, False)
+            out = jd(params, online, anchors, canv, sizes)
+            jax.device_get(out[0].scores)  # compile + warm
+            t0 = time.perf_counter()
+            for _ in range(n_batches):
+                out = jd(params, online, anchors, canv, sizes)
+            jax.device_get(out[0].scores)
+            dt = time.perf_counter() - t0
+            emit("inference_throughput_600px", bsz * n_batches / dt, "imgs/s",
+                 batch=bsz)
+            del online, out, params, canv  # release HBM before the headline
         except Exception as e:  # never let the throughput stage kill the bench
             print(f"# bench: harvest stage failed: {e!r}", file=sys.stderr)
 

@@ -108,16 +108,18 @@ def _write_result(output_dir: Optional[str], text: str):
 # configs are hashable NamedTuples, so programs are shared process-wide.
 
 
-@functools.lru_cache(maxsize=None)
 def _jit_harvest_trunk(dcfg: DetectorConfig, with_mask_features: bool):
-    from online_detection_tpu.engine.harvest import harvest_trunk
+    """Single-image trunk = the image-batched trunk at B=1, so the host and
+    device pipelines share ONE compiled program per static config."""
+    from online_detection_tpu.pipelines.device_pipeline import _jit_batched_trunk
 
-    return jax.jit(
-        lambda p, orpn, a, im, sz, gb, gv: harvest_trunk(
-            p, orpn, a, im, sz, gb, gv, dcfg,
-            with_mask_features=with_mask_features,
-        )
-    )
+    batched = _jit_batched_trunk(dcfg, with_mask_features, None, "mb")
+
+    def fn(p, orpn, a, im, sz, gb, gv):
+        outs = batched(p, orpn, a, im[None], sz[None], gb[None], gv[None])
+        return jax.tree.map(lambda x: x[0], outs)
+
+    return fn
 
 
 @functools.lru_cache(maxsize=None)

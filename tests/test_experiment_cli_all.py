@@ -72,9 +72,16 @@ def synth(tmp_path_factory):
     make_synthetic_icwt(root, n_train=3, n_test=2)
     feat = base / "feat.yaml"
     feat.write_text(FEAT_CFG.format(root=root))
+    # mask-off variant for the SGD baseline CLIs: the mask forward+backward
+    # is covered by tests/test_trainer.py; dropping it halves their compiles
+    feat_nomask = base / "feat_nomask.yaml"
+    feat_nomask.write_text(
+        FEAT_CFG.format(root=root).replace("MASK_ON: True", "MASK_ON: False")
+    )
     online = base / "online.yaml"
     online.write_text(ONLINE_CFG)
-    return {"base": base, "feat": str(feat), "online": str(online)}
+    return {"base": base, "feat": str(feat), "feat_nomask": str(feat_nomask),
+            "online": str(online)}
 
 
 def test_serial_cli(synth):
@@ -130,7 +137,7 @@ def test_full_train_cli(synth):
     out = str(synth["base"] / "out_full")
     params = exp.main([
         "--output_dir", out,
-        "--config_file", synth["feat"],
+        "--config_file", synth["feat_nomask"],
         "--max_iter", "3", "--CPU",
     ])
     assert params is not None
@@ -146,7 +153,7 @@ def test_fine_tuning_and_tester_cli(synth):
     out = str(synth["base"] / "out_ft")
     params = ft.main([
         "--output_dir", out,
-        "--config_file", synth["feat"],
+        "--config_file", synth["feat_nomask"],
         "--train_for_time", "0h:0m:20s",
         "--max_iter", "2",
         "--use_backbone_features", "--CPU",
@@ -159,8 +166,31 @@ def test_fine_tuning_and_tester_cli(synth):
     results = tester.main([
         "--output_dir", str(synth["base"] / "out_tester"),
         "--models_dir", out,
-        "--config_file", synth["feat"],
+        "--config_file", synth["feat_nomask"],
         "--CPU",
     ])
     assert ckpt in results
     assert any("map" in k for k in results[ckpt])
+
+
+def test_visualizer_cli(synth):
+    """Visualizer CLI: save models with the flagship CLI, then overlay PNGs."""
+    import run_experiment_online_rpn_ood_oos as flagship
+    import visualize_masks_online_segmentation as viz
+
+    out = str(synth["base"] / "out_viz_models")
+    flagship.main([
+        "--output_dir", out,
+        "--config_file_feature_extraction", synth["feat"],
+        "--config_file_online_rpn_detection_segmentation", synth["online"],
+        "--save_RPN_detector_segmentation_models", "--CPU",
+    ])
+    viz_out = str(synth["base"] / "out_viz")
+    viz.main([
+        "--models_dir", out,
+        "--output_dir", viz_out,
+        "--config_file_feature_extraction", synth["feat"],
+        "--num_images", "1", "--CPU",
+    ])
+    pngs = [f for f in os.listdir(viz_out) if f.endswith(".png")]
+    assert pngs, "no overlays written"

@@ -85,6 +85,55 @@ def test_sharded_minibootstrap_pads_class_axis(rng):
     assert bool(got.exists.all())
 
 
+def test_batched_inference_matches_per_image(tmp_path):
+    """run_inference(batch_size=8, mesh) returns the same predictions as the
+    per-image path; the batch axis is sharded over the 8-device CPU mesh."""
+    from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+    from online_detection_tpu.models.detector import (
+        DetectorConfig,
+        init_detector_params,
+    )
+    from online_detection_tpu.pipelines.device_pipeline import (
+        harvest_dataset_device,
+        train_online_modules_device,
+    )
+    from online_detection_tpu.pipelines.online_pipeline import (
+        OnlineTrainConfig,
+        run_inference,
+    )
+    from tests.fixtures import make_synthetic_icwt
+
+    root = str(tmp_path / "ycbv_synth")  # dir name selects the class table
+    make_synthetic_icwt(root, n_train=3, n_test=3)
+    train_ds = ICubWorldDataset(root, "Main", "train")
+    test_ds = ICubWorldDataset(root, "Main", "test")
+    params = init_detector_params(jax.random.key(0), 15, 20)
+    cfg = OnlineTrainConfig(
+        num_classes=19, det_m=16, rpn_m=16, segm_m=16,
+        iterations=2, batch_size=32, segm_batch_size=256,
+        rpn_pos_cap=64, det_pos_cap=32, coxy_cap=256,
+        with_segmentation=False,
+    )
+    dcfg = DetectorConfig(pre_nms_top_n=100, post_nms_top_n=30,
+                          detections_per_img=8)
+    kw = dict(dcfg=dcfg, gt_cap=4, min_size=128, max_size=320)
+    state, _ = harvest_dataset_device(
+        jax.random.key(1), params, train_ds, cfg, (128, 192), **kw
+    )
+    online = train_online_modules_device(jax.random.key(2), state, cfg)
+    r1, p1 = run_inference(params, online, test_ds, (128, 192), dcfg,
+                           min_size=128, max_size=320)
+    r8, p8 = run_inference(params, online, test_ds, (128, 192), dcfg,
+                           min_size=128, max_size=320,
+                           batch_size=8, mesh=make_mesh(8))
+    assert len(p1) == len(p8) == 3
+    for a, b in zip(p1, p8):
+        assert len(a["boxes"]) == len(b["boxes"])
+        np.testing.assert_allclose(a["boxes"], b["boxes"], rtol=1e-3, atol=0.1)
+        np.testing.assert_array_equal(a["labels"], b["labels"])
+    assert r1.keys() == r8.keys()
+
+
 def test_shard_batch_places_batch_axis():
     mesh = make_mesh(8)
     tree = {

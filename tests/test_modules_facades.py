@@ -116,7 +116,7 @@ def test_feature_extractor_test_method(tmp_path):
     from online_detection_tpu.modules.feature_extractor import FeatureExtractor
     from tests.fixtures import make_synthetic_icwt
 
-    root = str(tmp_path / "synth")
+    root = str(tmp_path / "ycbv_synth")  # dir name selects the class table
     make_synthetic_icwt(root, n_train=2, n_test=2)
     ds = ICubWorldDataset(root, "Main", "test")
     params = init_detector_params(jax.random.key(0), 15, 20)
