@@ -30,7 +30,8 @@ def parse_args(argv=None):
     parser.add_argument("--weights", type=str, default=None)
     parser.add_argument("--CPU", action="store_true")
     parser.add_argument("--max_iter", type=int, default=None)
-    parser.add_argument("--base_lr", type=float, default=0.0025)
+    parser.add_argument("--base_lr", type=float, default=None,
+                        help="Override SOLVER.BASE_LR")
     return parser.parse_args(argv)
 
 
@@ -67,11 +68,13 @@ def main(argv=None):
     canvas = dataset_canvas(train_ds, extras)
 
     cfg = SGDConfig(
-        base_lr=args.base_lr,
+        **extras["sgd"],
         freeze_backbone=True,
         freeze_rpn_except_logits=not args.fine_tune_RPN,
         freeze_heads_except_predictor=args.fine_tune_last_layers,
     )
+    if args.base_lr is not None:
+        cfg = cfg._replace(base_lr=args.base_lr)
     if args.max_iter:
         cfg = cfg._replace(max_iter=args.max_iter)
 

@@ -25,7 +25,8 @@ def parse_args(argv=None):
     parser.add_argument("--weights", type=str, default=None)
     parser.add_argument("--CPU", action="store_true")
     parser.add_argument("--max_iter", type=int, default=None)
-    parser.add_argument("--base_lr", type=float, default=0.0025)
+    parser.add_argument("--base_lr", type=float, default=None,
+                        help="Override SOLVER.BASE_LR")
     return parser.parse_args(argv)
 
 
@@ -63,7 +64,11 @@ def main(argv=None):
         params["mask_head"]["logits_b"] = jnp.zeros((n_cls,))
     canvas = dataset_canvas(train_ds, extras)
 
-    cfg = SGDConfig(base_lr=args.base_lr)
+    # solver knobs from the yacs SOLVER tree (defaults.py:394-409) with
+    # CLI overrides
+    cfg = SGDConfig(**extras["sgd"])
+    if args.base_lr is not None:
+        cfg = cfg._replace(base_lr=args.base_lr)
     if args.max_iter:
         cfg = cfg._replace(max_iter=args.max_iter)
     params, hist = do_train(

@@ -174,6 +174,23 @@ def build_configs(
     iou_thr = _get(feat_cfg, "EVALUATION.IOU_THRESHOLDS", (0.5,))
     if isinstance(iou_thr, str):
         iou_thr = ast.literal_eval(iou_thr)
+    steps = _get(feat_cfg, "SOLVER.STEPS", (30000,))
+    if isinstance(steps, str):
+        steps = ast.literal_eval(steps)
+    # SGD solver knobs for the baseline trainers (yacs SOLVER tree +
+    # sampling sizes, ``defaults.py:150,193,394-409``)
+    sgd = dict(
+        base_lr=float(_get(feat_cfg, "SOLVER.BASE_LR", 0.001)),
+        momentum=float(_get(feat_cfg, "SOLVER.MOMENTUM", 0.9)),
+        weight_decay=float(_get(feat_cfg, "SOLVER.WEIGHT_DECAY", 0.0005)),
+        warmup_iters=int(_get(feat_cfg, "SOLVER.WARMUP_ITERS", 500)),
+        warmup_factor=float(_get(feat_cfg, "SOLVER.WARMUP_FACTOR", 1.0 / 3)),
+        steps=tuple(steps),
+        gamma=float(_get(feat_cfg, "SOLVER.GAMMA", 0.1)),
+        max_iter=int(_get(feat_cfg, "SOLVER.MAX_ITER", 40000)),
+        roi_batch=int(_get(feat_cfg, "MODEL.ROI_HEADS.BATCH_SIZE_PER_IMAGE", 512)),
+        post_nms_train=int(_get(feat_cfg, "MODEL.RPN.POST_NMS_TOP_N_TRAIN", 300)),
+    )
     extras = {
         "train_datasets": parse_dataset_tuple(_get(feat_cfg, "DATASETS.TRAIN", ())),
         "test_datasets": parse_dataset_tuple(_get(feat_cfg, "DATASETS.TEST", ())),
@@ -189,5 +206,6 @@ def build_configs(
         "shuffle_negatives": bool(
             _get(feat_cfg, "MINIBOOTSTRAP.DETECTOR.SHUFFLE_NEGATIVES", False)
         ),
+        "sgd": sgd,
     }
     return train_cfg, det_cfg, extras

@@ -224,14 +224,15 @@ def do_train(
 
     ch, cw = canvas_hw
     anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
-    # freeze flags act only through the gradient MASK (a step argument), not
-    # the program: drop them from the jit cache key so fine-tune variants
-    # share the full-train program
+    # freeze flags act only through the gradient MASK (a step argument) and
+    # max_iter only through the host loop: drop both from the jit cache key
+    # so fine-tune/short-run variants share the full-train program
     tx, step_fn = make_train_step(
         cfg._replace(
             freeze_backbone=False,
             freeze_rpn_except_logits=False,
             freeze_heads_except_predictor=False,
+            max_iter=0,
         ),
         with_mask,
     )

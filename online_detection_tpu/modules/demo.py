@@ -66,11 +66,10 @@ class OnlineSegmentationDemo:
         self.confidence_threshold = confidence_threshold
         ch, cw = canvas_hw
         self.anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
-        self._jit = jax.jit(
-            lambda p, o, a, im, sz: detect(
-                p, o, a, im, sz, det_cfg, online.mask is not None
-            )
-        )
+        # shared process-wide program (same cache the pipelines use)
+        from online_detection_tpu.pipelines.online_pipeline import _jit_detect
+
+        self._jit = _jit_detect(det_cfg, online.mask is not None, False)
 
     def run_on_image(self, rgb: np.ndarray) -> Dict:
         """rgb [H, W, 3] uint8 -> {boxes, scores, labels, class_names,

@@ -23,6 +23,9 @@ MODEL:
   RPN:
     PRE_NMS_TOP_N_TEST: 150
     POST_NMS_TOP_N_TEST: 40
+    POST_NMS_TOP_N_TRAIN: 30
+  ROI_HEADS:
+    BATCH_SIZE_PER_IMAGE: 32
   MASK_ON: True
 DATASETS:
   TRAIN: ("path:{root}::train",)
@@ -38,6 +41,13 @@ MINIBOOTSTRAP:
     SHUFFLE_NEGATIVES: True
 SEGMENTATION:
   BATCH_SIZE: 256
+# small SGD shapes aligned with tests/test_trainer.py so the baseline CLIs
+# reuse its compiled train-step program (1-core sandbox: compiles dominate)
+SOLVER:
+  BASE_LR: 0.005
+  WARMUP_ITERS: 0
+  STEPS: (48000, 64000)
+  WEIGHT_DECAY: 0.0005
 EVALUATION:
   IOU_THRESHOLDS: (0.5,)
   USE_VOC07_METRIC: True
@@ -137,7 +147,7 @@ def test_full_train_cli(synth):
     out = str(synth["base"] / "out_full")
     params = exp.main([
         "--output_dir", out,
-        "--config_file", synth["feat_nomask"],
+        "--config_file", synth["feat"],
         "--max_iter", "3", "--CPU",
     ])
     assert params is not None

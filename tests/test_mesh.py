@@ -104,18 +104,20 @@ def test_batched_inference_matches_per_image(tmp_path):
     from tests.fixtures import make_synthetic_icwt
 
     root = str(tmp_path / "ycbv_synth")  # dir name selects the class table
-    make_synthetic_icwt(root, n_train=3, n_test=3)
+    # setup mirrors test_device_pipeline's e2e tests exactly so every program
+    # except the new B=8 sharded detect is reused (1-core sandbox: compiles
+    # dominate the suite)
+    make_synthetic_icwt(root, n_train=5, n_test=3)
     train_ds = ICubWorldDataset(root, "Main", "train")
     test_ds = ICubWorldDataset(root, "Main", "test")
     params = init_detector_params(jax.random.key(0), 15, 20)
     cfg = OnlineTrainConfig(
-        num_classes=19, det_m=16, rpn_m=16, segm_m=16,
-        iterations=2, batch_size=32, segm_batch_size=256,
-        rpn_pos_cap=64, det_pos_cap=32, coxy_cap=256,
-        with_segmentation=False,
+        num_classes=19, det_m=24, rpn_m=24, segm_m=16,
+        iterations=2, batch_size=48, segm_batch_size=256,
+        rpn_pos_cap=128, det_pos_cap=64, coxy_cap=512,
     )
-    dcfg = DetectorConfig(pre_nms_top_n=100, post_nms_top_n=30,
-                          detections_per_img=8)
+    dcfg = DetectorConfig(pre_nms_top_n=150, post_nms_top_n=40,
+                          detections_per_img=10)
     kw = dict(dcfg=dcfg, gt_cap=4, min_size=128, max_size=320)
     state, _ = harvest_dataset_device(
         jax.random.key(1), params, train_ds, cfg, (128, 192), **kw
