@@ -27,7 +27,6 @@ detected (fingerprint file) and purged instead of crashing the process.
 
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -62,37 +61,17 @@ def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
     print(json.dumps(rec), flush=True)
 
 
+# cache hygiene shared with the experiment CLIs
+from online_detection_tpu.utils.compile_cache import (  # noqa: E402
+    guard_fingerprint as _guard_fingerprint,
+    is_stale_cache_error as _is_stale_cache_error,
+    purge as _purge_cache_dir,
+)
+
+
 def _purge_cache(reason: str):
     print(f"# bench: purging compile cache ({reason})", file=sys.stderr)
-    shutil.rmtree(CACHE_DIR, ignore_errors=True)
-
-
-def _guard_cache_fingerprint(jax):
-    """Purge the persistent compile cache when the libtpu build changed —
-    stale AOT entries raise FAILED_PRECONDITION at dispatch time otherwise
-    (observed in round 1's MULTICHIP/BENCH artifacts)."""
-    try:
-        version = jax.devices()[0].client.platform_version
-    except Exception:
-        return
-    os.makedirs(CACHE_DIR, exist_ok=True)
-    fp_path = os.path.join(CACHE_DIR, ".libtpu_fingerprint")
-    old = None
-    if os.path.exists(fp_path):
-        with open(fp_path) as f:
-            old = f.read()
-    if old is not None and old != version:
-        _purge_cache("libtpu fingerprint changed")
-        os.makedirs(CACHE_DIR, exist_ok=True)
-    with open(fp_path, "w") as f:
-        f.write(version)
-
-
-def _is_stale_cache_error(err: BaseException) -> bool:
-    msg = str(err)
-    return "libtpu version mismatch" in msg or (
-        "FAILED_PRECONDITION" in msg and "AOT" in msg
-    )
+    _purge_cache_dir(CACHE_DIR)
 
 
 def main():
@@ -116,7 +95,7 @@ def main():
             os.execv(sys.executable, [sys.executable] + sys.argv)
         raise SystemExit("bench: no TPU backend after retries")
     print(f"# bench backend: {jax.default_backend()}", file=sys.stderr)
-    _guard_cache_fingerprint(jax)
+    _guard_fingerprint(CACHE_DIR)
     # persistent compile cache: the flagship programs cost ~15-150 s of
     # (remote) compile each; with the fingerprint guard above, reusing them
     # across runs is safe and makes repeat benches compile-free

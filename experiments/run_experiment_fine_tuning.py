@@ -39,6 +39,12 @@ def main(argv=None):
     args = parse_args(argv)
     if args.CPU:
         jax.config.update("jax_platforms", "cpu")
+    elif jax.default_backend() == "tpu":
+        # purge stale persistent-compile-cache entries from a different
+        # libtpu build (would FAILED_PRECONDITION at dispatch otherwise)
+        from online_detection_tpu.utils.compile_cache import guard_fingerprint
+
+        guard_fingerprint()
 
     import jax.numpy as jnp
     import numpy as np

@@ -1,0 +1,63 @@
+"""Persistent-compile-cache hygiene for TPU processes.
+
+The framework enables JAX's on-disk compilation cache for TPU-bound
+processes (package ``__init__``) because the big jitted programs cost
+seconds-to-minutes through the remote compiler. AOT entries are only valid
+for the libtpu build that produced them — a mismatch raises
+``FAILED_PRECONDITION: libtpu version mismatch`` at dispatch time (this
+crashed the round-1 multichip driver artifact). This module stores the
+platform fingerprint next to the cache and purges stale entries instead.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+
+def default_cache_dir() -> str:
+    return os.path.abspath(
+        os.environ.get(
+            "ODTPU_JAX_CACHE_DIR",
+            os.path.join(os.path.dirname(__file__), "..", "..", ".jax_cache"),
+        )
+    )
+
+
+def purge(cache_dir: str | None = None) -> None:
+    shutil.rmtree(cache_dir or default_cache_dir(), ignore_errors=True)
+
+
+def guard_fingerprint(cache_dir: str | None = None) -> bool:
+    """Compare the current platform fingerprint with the cache's; purge the
+    cache when the libtpu build changed. Returns True if the cache was
+    purged. Initializes the JAX backend — call only once the process has
+    committed to a platform."""
+    cache_dir = cache_dir or default_cache_dir()
+    try:
+        import jax
+
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        return False
+    os.makedirs(cache_dir, exist_ok=True)
+    fp_path = os.path.join(cache_dir, ".libtpu_fingerprint")
+    old = None
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            old = f.read()
+    purged = False
+    if old is not None and old != version:
+        purge(cache_dir)
+        os.makedirs(cache_dir, exist_ok=True)
+        purged = True
+    with open(fp_path, "w") as f:
+        f.write(version)
+    return purged
+
+
+def is_stale_cache_error(err: BaseException) -> bool:
+    msg = str(err)
+    return "libtpu version mismatch" in msg or (
+        "FAILED_PRECONDITION" in msg and "AOT" in msg
+    )
