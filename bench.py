@@ -36,9 +36,6 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 BASELINE_SECONDS = 120.0
-CACHE_DIR = os.path.abspath(
-    os.environ.get("ODTPU_JAX_CACHE_DIR", os.path.join(REPO, ".jax_cache"))
-)
 
 
 def _deadline() -> float:
@@ -61,12 +58,17 @@ def emit(metric: str, value: float, unit: str, vs_baseline=None, **extra):
     print(json.dumps(rec), flush=True)
 
 
-# cache hygiene shared with the experiment CLIs
+# cache hygiene shared with the experiment CLIs (single source of truth for
+# the cache location too — a second copy here could guard one directory
+# while JAX compiles into another)
 from online_detection_tpu.utils.compile_cache import (  # noqa: E402
+    default_cache_dir,
     guard_fingerprint as _guard_fingerprint,
     is_stale_cache_error as _is_stale_cache_error,
     purge as _purge_cache_dir,
 )
+
+CACHE_DIR = default_cache_dir()
 
 
 def _purge_cache(reason: str):

@@ -239,8 +239,16 @@ def do_train(
     opt_state = tx.init(params)
     gmask = freeze_mask(params, cfg)
 
-    from online_detection_tpu.utils.telemetry import MetricLogger, setup_logger
+    from online_detection_tpu.utils.telemetry import (
+        MetricLogger,
+        setup_logger,
+        teardown_logger,
+    )
 
+    # fresh handlers per run: a previous do_train in this process would
+    # otherwise keep logging into ITS checkpoint_dir (setup_logger
+    # early-returns when handlers exist)
+    teardown_logger("online_detection_tpu.trainer")
     logger = setup_logger("online_detection_tpu.trainer", checkpoint_dir)
     meters = MetricLogger()
     logger.info(
@@ -317,4 +325,5 @@ def do_train(
             logger.info("time budget reached at iter %d", it)
             break
     logger.info("done: %d iters in %.1fs", len(losses_hist), time.time() - t0)
+    teardown_logger("online_detection_tpu.trainer")
     return params, losses_hist

@@ -66,10 +66,19 @@ class OnlineSegmentationDemo:
         self.confidence_threshold = confidence_threshold
         ch, cw = canvas_hw
         self.anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
-        # shared process-wide program (same cache the pipelines use)
-        from online_detection_tpu.pipelines.online_pipeline import _jit_detect
+        # share run_inference's compiled program: it is image-batched, so
+        # wrap it at B=1 (same pattern as _jit_harvest_trunk)
+        from online_detection_tpu.pipelines.online_pipeline import (
+            _jit_detect_batched,
+        )
 
-        self._jit = _jit_detect(det_cfg, online.mask is not None, False)
+        batched = _jit_detect_batched(det_cfg, online.mask is not None, False)
+
+        def _single(p, o, a, im, sz):
+            outs = batched(p, o, a, im[None], sz[None])
+            return jax.tree.map(lambda x: x[0], outs)
+
+        self._jit = _single
 
     def run_on_image(self, rgb: np.ndarray) -> Dict:
         """rgb [H, W, 3] uint8 -> {boxes, scores, labels, class_names,

@@ -245,36 +245,36 @@ def harvest_dataset(
 
     acc = HarvestAccumulator(cfg.num_anchor_classes, cfg.num_classes)
     keys = jax.random.split(key, n_images)
-    loader = CanvasLoader(dataset, canvas_hw, min_size, max_size)
-    for i in range(n_images):
-        anno = dataset.get_annotation(i)
-        canvas, scale, (sw, sh) = loader.get(i)
-        boxes = transforms.scale_boxes(anno.boxes, scale)
-        g = len(boxes)
-        gb = np.zeros((gt_cap, 4), np.float32)
-        gb[:g] = boxes[:gt_cap]
-        gl = np.zeros((gt_cap,), np.int32)
-        gl[:g] = anno.labels[:gt_cap]
-        gv = np.arange(gt_cap) < g
-        if cfg.with_segmentation:
-            from online_detection_tpu.data.mask_project import project_masks_for_image
+    loader_cm = CanvasLoader(dataset, canvas_hw, min_size, max_size)
+    with loader_cm as loader:
+        for i in range(n_images):
+            anno = dataset.get_annotation(i)
+            canvas, scale, (sw, sh) = loader.get(i)
+            boxes = transforms.scale_boxes(anno.boxes, scale)
+            g = len(boxes)
+            gb = np.zeros((gt_cap, 4), np.float32)
+            gb[:g] = boxes[:gt_cap]
+            gl = np.zeros((gt_cap,), np.int32)
+            gl[:g] = anno.labels[:gt_cap]
+            gv = np.arange(gt_cap) < g
+            if cfg.with_segmentation:
+                from online_detection_tpu.data.mask_project import project_masks_for_image
 
-            masks = dataset.load_masks(i, anno)  # [G, H, W] original res
-            gm = project_masks_for_image(masks, gb[:g], scale, gt_cap)
-        else:
-            gm = None
-        vis = anchor_visibility(np.asarray(anchors), (sw, sh))
-        t_feats, pb, pv, feats, deconv = jit_trunk(
-            params, online_rpn, anchors, jnp.asarray(canvas),
-            jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gv),
-        )
-        chunk = jit_chunks(
-            keys[i], t_feats, pb, pv, feats, deconv, anchors, jnp.asarray(vis),
-            jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
-            jnp.asarray(gv), jnp.asarray(gm) if gm is not None else None,
-        )
-        acc.add(chunk)
-    loader.close()
+                masks = dataset.load_masks(i, anno)  # [G, H, W] original res
+                gm = project_masks_for_image(masks, gb[:g], scale, gt_cap)
+            else:
+                gm = None
+            vis = anchor_visibility(np.asarray(anchors), (sw, sh))
+            t_feats, pb, pv, feats, deconv = jit_trunk(
+                params, online_rpn, anchors, jnp.asarray(canvas),
+                jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gv),
+            )
+            chunk = jit_chunks(
+                keys[i], t_feats, pb, pv, feats, deconv, anchors, jnp.asarray(vis),
+                jnp.asarray([sw, sh]), jnp.asarray(gb), jnp.asarray(gl),
+                jnp.asarray(gv), jnp.asarray(gm) if gm is not None else None,
+            )
+            acc.add(chunk)
 
     out = acc.finalize(
         rpn_iterations=cfg.iterations, rpn_batch_size=cfg.batch_size,

@@ -46,8 +46,13 @@ def guard_fingerprint(cache_dir: str | None = None) -> bool:
     if os.path.exists(fp_path):
         with open(fp_path) as f:
             old = f.read()
+    has_entries = any(
+        name != ".libtpu_fingerprint" for name in os.listdir(cache_dir)
+    )
+    # a non-empty cache with NO fingerprint is a legacy/unknown-build cache
+    # (round 1 wrote entries before this guard existed) — treat as stale
     purged = False
-    if old is not None and old != version:
+    if old != version and (old is not None or has_entries):
         purge(cache_dir)
         os.makedirs(cache_dir, exist_ok=True)
         purged = True
