@@ -82,6 +82,7 @@ def main(argv=None):
         with_mask=extras["mask_on"],
         time_budget=parse_time_budget(args.train_for_time),
         min_size=extras["min_size_test"], max_size=extras["max_size_test"],
+        flip_prob=extras["flip_prob_train"],
     )
     np.save(os.path.join(output_dir, "loss_history.npy"), np.asarray(hist))
     import pickle

