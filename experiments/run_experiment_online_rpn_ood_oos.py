@@ -142,8 +142,11 @@ def main(argv=None):
             min_size=extras["min_size_test"], max_size=extras["max_size_test"],
             batch_size=args.images_per_batch,
         )
+        # list form transfers ownership: reservoirs are freed stage-by-stage
+        holder = [state]
+        del state
         online = dpipe.train_online_modules_device(
-            jax.random.key(2), state, train_cfg, output_dir
+            jax.random.key(2), holder, train_cfg, output_dir
         )
         if args.save_RPN_detector_segmentation_models:
             ckpt.save_online_models(output_dir, online)

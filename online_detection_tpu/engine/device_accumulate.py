@@ -97,6 +97,7 @@ def init_reservoirs(
     det_pos_cap: int = 4096,
     coxy_cap: int = 30000,
     mask_cap: int = 40000,
+    mask_pos_cap: int = None,
     chunk_sizes: Dict[str, int] = None,
     with_rpn: bool = True,
     with_mask: bool = True,
@@ -117,7 +118,9 @@ def init_reservoirs(
         det_neg=Pool.make(num_classes, neg_cap, det_dim, npick),
         det_pos=Pool.make(num_classes, det_pos_cap, det_dim, gcap),
         det_coxy=Pool.make(1, coxy_cap, det_dim + 5, ccap),
-        mask_pos=Pool.make(num_classes, mask_cap, mask_dim, gcap * pix) if with_mask else None,
+        mask_pos=Pool.make(
+            num_classes, mask_pos_cap or mask_cap, mask_dim, gcap * pix
+        ) if with_mask else None,
         mask_neg=Pool.make(num_classes, mask_cap, mask_dim, gcap * pix) if with_mask else None,
         ar_sum=jnp.zeros(()),
         n_images=jnp.zeros((), jnp.int32),
@@ -223,6 +226,52 @@ def arrival_split(pool: Pool, iterations: int, batch_size: int):
         c, iterations, batch_size
     )
     return rows, valid
+
+
+def device_feature_stats_pool(
+    key: jax.Array,
+    pos: Pool,
+    neg: Pool,
+    num_samples: int = 4000,
+    pos_fraction: float = 0.8,
+) -> FeatureStats:
+    """``device_feature_stats`` sampling straight from the negative POOL
+    (arrival order) instead of the batched split — lets the stats run before
+    any [C, I, B, d] split is materialized (the chunked-training path)."""
+    from online_detection_tpu.engine.harvest import masked_sample
+
+    c = pos.rows.shape[0]
+    take_pos = math.ceil((num_samples / c) * pos_fraction)
+    take_neg = math.ceil((num_samples / c) * (1 - pos_fraction))
+    kp, kn = jax.random.split(key)
+
+    def sample_cls(k, rows, count, take):
+        idx, valid = masked_sample(
+            k, jnp.arange(rows.shape[0]) < count, take
+        )
+        return rows[idx], valid
+
+    p_rows, p_valid = jax.vmap(
+        lambda k, r, ct: sample_cls(k, r, ct, take_pos)
+    )(jax.random.split(kp, c), pos.rows, pos.counts)
+    n_rows, n_valid = jax.vmap(
+        lambda k, r, ct: sample_cls(k, r, ct, take_neg)
+    )(jax.random.split(kn, c), neg.rows, neg.counts)
+
+    d = pos.rows.shape[-1]
+    all_rows = jnp.concatenate(
+        [p_rows.reshape(-1, d), n_rows.reshape(-1, d)], axis=0
+    )
+    all_valid = jnp.concatenate([p_valid.reshape(-1), n_valid.reshape(-1)])
+    w = all_valid.astype(jnp.float32)
+    n = jnp.maximum(jnp.sum(w), 1.0)
+    mean = jnp.sum(all_rows * w[:, None], axis=0) / n
+    var = jnp.sum(((all_rows - mean) ** 2) * w[:, None], axis=0) / jnp.maximum(
+        n - 1.0, 1.0
+    )
+    norms = jnp.linalg.norm(all_rows, axis=1)
+    mean_norm = jnp.sum(norms * w) / n
+    return FeatureStats(mean=mean, std=jnp.sqrt(var), mean_norm=mean_norm)
 
 
 def device_feature_stats(

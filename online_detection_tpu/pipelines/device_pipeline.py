@@ -133,6 +133,65 @@ def _jit_batched_chunks_accumulate(hcfg: HarvestConfig, with_rpn: bool,
     return jax.jit(_batched, donate_argnums=(0,))
 
 
+@functools.lru_cache(maxsize=None)
+def _jit_chunk_split(chunk: int, iterations: int, batch_size: int,
+                     shuffle: bool):
+    """Slice a class-chunk out of a negative pool and split it into
+    minibootstrap batches, fused in ONE program — the full-width
+    [C, I, B, d] split plus the pool plus the solver temporaries exceed the
+    chip at flagship scale, so splits are materialized per chunk and freed
+    after that chunk trains."""
+
+    def f(key, rows, counts, lo):
+        sub = jax.lax.dynamic_slice_in_dim(rows, lo, chunk, axis=0)
+        scnt = jax.lax.dynamic_slice_in_dim(counts, lo, chunk, axis=0)
+        pool = dacc.Pool(sub, scnt)
+        if shuffle:
+            return dacc.shuffle_split(key, pool, iterations, batch_size)
+        return dacc.interleave_split(pool, iterations, batch_size)
+
+    return jax.jit(f)
+
+
+def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
+                        iterations: int, batch_size: int,
+                        shuffle: bool, chunk: int):
+    """Minibootstrap a whole head class-chunk-wise: split chunk -> train
+    chunk -> release, bounding the HBM working set. The tail chunk is
+    handled by sliding the window back (dynamic_slice clamps), retraining a
+    few overlap classes and keeping only the new tail outputs."""
+    from online_detection_tpu.solvers.falkon import FalkonModel
+
+    c = pos.shape[0]
+    chunk = min(chunk, c)
+    split_fn = _jit_chunk_split(chunk, iterations, batch_size, shuffle)
+    centers_parts, alpha_parts, exists_parts = [], [], []
+    lo = 0
+    while lo < c:
+        lo_eff = min(lo, c - chunk)
+        drop = lo - lo_eff  # overlap classes already trained
+        neg, neg_valid = split_fn(
+            jax.random.fold_in(key, lo_eff), neg_pool.rows, neg_pool.counts,
+            lo_eff,
+        )
+        model = train_classifiers_minibootstrap(
+            jax.random.fold_in(key, 1000 + lo_eff),
+            pos[lo_eff : lo_eff + chunk], pos_valid[lo_eff : lo_eff + chunk],
+            neg, neg_valid, params, stats=stats,
+        )
+        neg = neg_valid = None
+        centers_parts.append(model.centers[drop:])
+        alpha_parts.append(model.alpha[drop:])
+        exists_parts.append(model.exists[drop:])
+        lo = lo_eff + chunk
+    return FalkonModel(
+        jnp.concatenate(centers_parts),
+        jnp.concatenate(alpha_parts),
+        jnp.concatenate(exists_parts),
+        params.sigma,
+    )
+
+
 def harvest_dataset_device(
     key: jax.Array,
     params,
@@ -175,6 +234,7 @@ def harvest_dataset_device(
         det_pos_cap=cfg.det_pos_cap,
         coxy_cap=cfg.coxy_cap,
         mask_cap=cfg.segm_batch_size * 2,
+        mask_pos_cap=cfg.segm_pos_cap,
         chunk_sizes={
             "npick": npick, "rpn_pos": hcfg.rpn_pos_cap, "gt_cap": gt_cap,
             "coxy": hcfg.coxy_cap, "mask_pix": hcfg.mask_pix_cap,
@@ -272,40 +332,53 @@ def harvest_dataset_device(
 
 def train_online_modules_device(
     key: jax.Array,
-    state: dacc.DeviceReservoirs,
+    state,
     cfg: OnlineTrainConfig,
     output_dir: Optional[str] = None,
 ) -> OnlineModelSet:
-    """Solver stages straight from the HBM reservoirs."""
-    k_shuf, k_stats, k_rpn, k_det, k_seg = jax.random.split(key, 5)
+    """Solver stages straight from the HBM reservoirs.
 
-    def _split_negatives(k, pool, shuffle):
-        if shuffle:
-            return dacc.shuffle_split(k, pool, cfg.iterations, cfg.batch_size)
-        return dacc.interleave_split(pool, cfg.iterations, cfg.batch_size)
+    ``state``: a DeviceReservoirs, or a ONE-ELEMENT LIST holding one — the
+    list form transfers ownership so each reservoir is RELEASED as its stage
+    consumes it. At flagship scale (M=1000, 10x2000 pools, 21+15+21 heads)
+    the reservoirs plus solver working sets exceed a 16 GB chip unless
+    freed stage-by-stage; the CLIs use the list form.
+    """
+    if isinstance(state, list):
+        state = state.pop()  # take the only reference
+    from online_detection_tpu.utils.telemetry import device_memory_mb, setup_logger
+
+    logger = setup_logger("online_detection_tpu.train", output_dir)
+
+    def _log_mem(stage):
+        mem = device_memory_mb()
+        if mem:
+            logger.info("%s: %.0f MB HBM in use", stage, mem)
+        else:  # platform without memory_stats: at least mark stage progress
+            logger.info("%s", stage)
+
+    _k_unused, k_stats, k_rpn, k_det, k_seg = jax.random.split(key, 5)
+    _log_mem("train start")
 
     online_rpn = None
     if cfg.with_rpn and state.rpn_neg is not None:
-        neg, neg_valid = _split_negatives(
-            jax.random.fold_in(k_shuf, 0), state.rpn_neg,
-            cfg.rpn_shuffle_negatives,
-        )
         pos = state.rpn_pos.rows
         pos_valid = state.rpn_pos.valid_mask()
-        stats_rpn = dacc.device_feature_stats(
-            jax.random.fold_in(k_stats, 0), state.rpn_pos, neg, neg_valid,
+        stats_rpn = dacc.device_feature_stats_pool(
+            jax.random.fold_in(k_stats, 0), state.rpn_pos, state.rpn_neg,
             pos_fraction=cfg.pos_fraction_feat_stats,
         )
         t0 = time.time()
-        models = train_classifiers_minibootstrap(
-            k_rpn,
-            zscore(pos, stats_rpn) * pos_valid[..., None], pos_valid,
-            zscore(neg, stats_rpn) * neg_valid[..., None], neg_valid,
+        models = _train_head_chunked(
+            k_rpn, state.rpn_neg, pos, pos_valid,
             MinibootstrapParams(
                 m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
                 hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
             ),
+            stats_rpn, cfg.iterations, cfg.batch_size,
+            cfg.rpn_shuffle_negatives, cfg.solver_class_chunk,
         )
+        state = state._replace(rpn_neg=None)
         _write_result(
             output_dir,
             "RPN's Online Classifier training time: {}min:{}s \n".format(
@@ -334,6 +407,9 @@ def train_online_modules_device(
             ),
         )
         online_rpn = OnlineRPNModels(falkon=models, rls=rls, stats=stats_rpn)
+        state = state._replace(rpn_pos=None, rpn_coxy_y=None)
+        pos = pos_valid = None
+        _log_mem("after O-RPN stage")
 
     # ---- detector ----
     packed = state.det_coxy.rows[0]  # [cap, d+5]
@@ -363,11 +439,8 @@ def train_online_modules_device(
             rows=pos, counts=jnp.sum(pos_valid, axis=1).astype(jnp.int32)
         )
 
-    neg, neg_valid = _split_negatives(
-        jax.random.fold_in(k_shuf, 1), state.det_neg, cfg.shuffle_negatives
-    )
-    stats_det = dacc.device_feature_stats(
-        jax.random.fold_in(k_stats, 1), det_pos_pool, neg, neg_valid,
+    stats_det = dacc.device_feature_stats_pool(
+        jax.random.fold_in(k_stats, 1), det_pos_pool, state.det_neg,
         pos_fraction=cfg.pos_fraction_feat_stats,
     )
 
@@ -385,15 +458,19 @@ def train_online_modules_device(
     )
 
     t0 = time.time()
-    det_falkon = train_classifiers_minibootstrap(
-        k_det,
-        zscore(pos, stats_det) * pos_valid[..., None], pos_valid,
-        zscore(neg, stats_det) * neg_valid[..., None], neg_valid,
+    det_falkon = _train_head_chunked(
+        k_det, state.det_neg, pos, pos_valid,
         MinibootstrapParams(
             m=cfg.det_m, sigma=cfg.det_sigma, lam=cfg.det_lam,
             hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
         ),
+        stats_det, cfg.iterations, cfg.batch_size,
+        cfg.shuffle_negatives, cfg.solver_class_chunk,
     )
+    pos = pos_valid = det_pos_pool = None
+    state = state._replace(det_neg=None, det_pos=None, det_coxy=None)
+    packed = coxy_x = coxy_y = coxy_c = reg_x = None
+    _log_mem("after detector stage")
     _write_result(
         output_dir,
         "Detector's Online Classifier training time: {}min:{}s \n".format(
@@ -407,29 +484,25 @@ def train_online_modules_device(
     if cfg.with_segmentation and state.mask_pos is not None:
         seg_iters = max(
             1,
-            int(np.ceil(state.mask_pos.rows.shape[1] / cfg.segm_batch_size)),
+            int(np.ceil(state.mask_neg.rows.shape[1] / cfg.segm_batch_size)),
         )
-        pos_rows, pos_valid = dacc.arrival_split(state.mask_pos, 1, state.mask_pos.rows.shape[1])
-        pos_rows = pos_rows[:, 0]
-        pos_valid = pos_valid[:, 0]
-        neg_rows, neg_valid = dacc.arrival_split(
-            state.mask_neg, seg_iters, cfg.segm_batch_size
-        )
-        seg_pool = dacc.Pool(rows=pos_rows, counts=state.mask_pos.counts)
-        stats_seg = dacc.device_feature_stats(
-            jax.random.fold_in(k_stats, 2), seg_pool, neg_rows, neg_valid,
+        pos_rows = state.mask_pos.rows
+        pos_valid = state.mask_pos.valid_mask()
+        stats_seg = dacc.device_feature_stats_pool(
+            jax.random.fold_in(k_stats, 2), state.mask_pos, state.mask_neg,
             pos_fraction=cfg.pos_fraction_feat_stats,
         )
         t0 = time.time()
-        seg_falkon = train_classifiers_minibootstrap(
-            k_seg,
-            zscore(pos_rows, stats_seg) * pos_valid[..., None], pos_valid,
-            zscore(neg_rows, stats_seg) * neg_valid[..., None], neg_valid,
+        seg_falkon = _train_head_chunked(
+            k_seg, state.mask_neg, pos_rows, pos_valid,
             MinibootstrapParams(
                 m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
                 hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
             ),
+            stats_seg, seg_iters, cfg.segm_batch_size, False,
+            cfg.solver_class_chunk,
         )
+        state = state._replace(mask_pos=None, mask_neg=None)
         _write_result(
             output_dir,
             "Online Segmentation training time: {}min:{}s \n".format(
@@ -437,5 +510,6 @@ def train_online_modules_device(
             ),
         )
         online_mask = OnlineMaskModels(falkon=seg_falkon, stats=stats_seg)
+        _log_mem("after segmentation stage")
 
     return OnlineModelSet(rpn=online_rpn, detector=online_det, mask=online_mask)

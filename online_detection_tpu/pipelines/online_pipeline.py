@@ -89,10 +89,15 @@ class OnlineTrainConfig(NamedTuple):
     rpn_shuffle_negatives: bool = False
     # device-reservoir capacities (device_pipeline): per-class positives and
     # shared COXY rows retained; the reference keeps all positives (unbounded
-    # lists), so size these to the dataset
-    rpn_pos_cap: int = 8192
-    det_pos_cap: int = 8192
-    coxy_cap: int = 60000
+    # lists) — raise for very long teaching streams. Defaults are budgeted so
+    # the flagship configuration (21 classes, 10x2000 pools, d=2048) trains
+    # within a 16 GB chip alongside the solver working sets.
+    rpn_pos_cap: int = 4096
+    det_pos_cap: int = 2048
+    coxy_cap: int = 30000
+    segm_pos_cap: int = 8192  # positive pixels retained per class
+    # solver vmap width (see train_classifiers_minibootstrap.class_chunk)
+    solver_class_chunk: int = 8
 
 
 def _write_result(output_dir: Optional[str], text: str):

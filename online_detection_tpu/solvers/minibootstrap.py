@@ -66,8 +66,17 @@ def _train_one_class(
     pos_valid: jax.Array,  # [P]
     neg: jax.Array,  # [I, B, d]
     neg_valid: jax.Array,  # [I, B]
+    stats,  # Optional[FeatureStats] — z-score INSIDE the program (see below)
     params: MinibootstrapParams,
 ):
+    if stats is not None:
+        # normalizing inside the jit keeps the z-scored features a program
+        # TEMPORARY instead of a second persistent HBM copy of the (GB-scale)
+        # negative pools — at flagship scale the copies OOM a 16 GB chip
+        from online_detection_tpu.utils.stats import zscore
+
+        pos = zscore(pos, stats) * pos_valid[..., None]
+        neg = zscore(neg, stats) * neg_valid[..., None]
     p_cap, d = pos.shape
     n_iter, batch = neg.shape[0], neg.shape[1]
     neg_flat = neg.reshape(n_iter * batch, d)
@@ -124,8 +133,8 @@ def _train_one_class(
 # determines shapes (m) -> static; sigma stays a Python float on the model
 # so downstream Pallas dispatch keeps it compile-time constant
 _train_all_classes = jax.jit(
-    jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None)),
-    static_argnums=(5,),
+    jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None, None)),
+    static_argnums=(6,),
 )
 
 
@@ -136,11 +145,54 @@ def train_classifiers_minibootstrap(
     neg: jax.Array,  # [C, I, B, d]
     neg_valid: jax.Array,  # [C, I, B]
     params: MinibootstrapParams,
+    stats=None,
+    class_chunk=None,
 ) -> FalkonModel:
-    """Train all C classifiers concurrently. Returns a class-batched model."""
+    """Train all C classifiers concurrently. Returns a class-batched model.
+
+    ``stats``: optional FeatureStats — when given, features are z-scored
+    INSIDE the jitted program (shared across classes), avoiding a persistent
+    normalized copy of the pools in HBM. When None, inputs must already be
+    normalized (masked rows zero), as the host pipeline provides.
+
+    ``class_chunk``: train the classes in groups of this size instead of one
+    C-wide vmap. The solver's per-class temporaries (z-scored pools, the
+    [P+I*B, d] cache, K_NM) scale with the vmap width — at flagship scale
+    (C=21, d=2048, 10x2000 pools) the full-width program overflows a 16 GB
+    chip once the feature reservoirs are resident; chunks bound the working
+    set while reusing ONE compiled program for every chunk (the tail chunk
+    is zero-padded). None = single vmap (small problems, tests).
+    """
     c = pos.shape[0]
     keys = jax.random.split(key, c)
-    centers, alpha, exists = _train_all_classes(
-        keys, pos, pos_valid, neg, neg_valid, params
-    )
+    if class_chunk is None or class_chunk >= c:
+        centers, alpha, exists = _train_all_classes(
+            keys, pos, pos_valid, neg, neg_valid, stats, params
+        )
+        return FalkonModel(centers, alpha, exists, params.sigma)
+
+    def pad(x, lo, hi):
+        sl = x[lo:hi]
+        if hi - lo < class_chunk:
+            widths = [(0, class_chunk - (hi - lo))] + [(0, 0)] * (x.ndim - 1)
+            sl = jnp.pad(sl, widths)
+        return sl
+
+    def pad_keys(k, lo, hi):
+        sl = k[lo:hi]  # key arrays can't be zero-padded; recycle real keys
+        if hi - lo < class_chunk:
+            sl = jnp.concatenate([sl, k[: class_chunk - (hi - lo)]])
+        return sl
+
+    outs = []
+    for lo in range(0, c, class_chunk):
+        hi = min(lo + class_chunk, c)
+        centers, alpha, exists = _train_all_classes(
+            pad_keys(keys, lo, hi), pad(pos, lo, hi), pad(pos_valid, lo, hi),
+            pad(neg, lo, hi), pad(neg_valid, lo, hi), stats, params,
+        )
+        outs.append((centers[: hi - lo], alpha[: hi - lo], exists[: hi - lo]))
+    centers = jnp.concatenate([o[0] for o in outs])
+    alpha = jnp.concatenate([o[1] for o in outs])
+    exists = jnp.concatenate([o[2] for o in outs])
     return FalkonModel(centers, alpha, exists, params.sigma)

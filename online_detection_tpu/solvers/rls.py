@@ -113,7 +113,9 @@ def _solve_from_stats(g, b, sum_y, yty, n, lam) -> RLSModel:
         # covariance of centered targets: (Y^T Y - n mu mu^T) / n
         s = (yty[i].astype(np.float64) - ni * np.outer(mu, mu)) / ni
         dvals, wvecs = np.linalg.eig(s)
-        dvals = dvals.real
+        # f32-derived Gram noise can leave tiny NEGATIVE eigenvalues on a
+        # PSD covariance -> NaN through sqrt; clip before the +0.001 floor
+        dvals = np.maximum(dvals.real, 0.0)
         wvecs = wvecs.real
         t = wvecs @ np.diag(1.0 / np.sqrt(dvals + 0.001)) @ wvecs.T
         t_inv = wvecs @ np.diag(np.sqrt(dvals + 0.001)) @ wvecs.T
@@ -211,7 +213,7 @@ def rls_fit_grouped(
         mu = sum_y_h[i].astype(np.float64) / ni
         s = (yty_h[i].astype(np.float64) - ni * np.outer(mu, mu)) / ni
         dvals, wvecs = np.linalg.eig(s)
-        dvals, wvecs = dvals.real, wvecs.real
+        dvals, wvecs = np.maximum(dvals.real, 0.0), wvecs.real
         t_all[i] = wvecs @ np.diag(1.0 / np.sqrt(dvals + 0.001)) @ wvecs.T
         t_inv_all[i] = wvecs @ np.diag(np.sqrt(dvals + 0.001)) @ wvecs.T
         mu_all[i] = mu

@@ -80,3 +80,32 @@ def test_minibootstrap_respects_batch_validity(rng):
         np.asarray(falkon_predict(jax.tree.map(lambda a: a[0] if hasattr(a, "ndim") and a.ndim else a, m_b), probe)),
         rtol=1e-3, atol=1e-3,
     )
+
+
+def test_class_chunking_matches_full_vmap(rng):
+    """class_chunk groups must reproduce the single-vmap result (incl. the
+    zero-padded tail chunk) — the HBM-bounding path of the device pipeline."""
+    import jax.numpy as jnp
+
+    from online_detection_tpu.solvers.falkon import falkon_predict_classes
+    from online_detection_tpu.utils.stats import FeatureStats
+
+    c, p, i, b, d = 5, 6, 1, 6, 8
+    pos = jnp.asarray(rng.normal(size=(c, p, d)).astype(np.float32) + 1.0)
+    neg = jnp.asarray(rng.normal(size=(c, i, b, d)).astype(np.float32) - 1.0)
+    pv, nv = jnp.ones((c, p), bool), jnp.ones((c, i, b), bool)
+    stats = FeatureStats(jnp.zeros((d,)), jnp.ones((d,)), jnp.asarray(20.0))
+    params = MinibootstrapParams(m=12, sigma=3.0, lam=1e-2)
+    key = jax.random.key(0)
+    full = train_classifiers_minibootstrap(key, pos, pv, neg, nv, params,
+                                           stats=stats)
+    chunked = train_classifiers_minibootstrap(key, pos, pv, neg, nv, params,
+                                              stats=stats, class_chunk=2)
+    x = jnp.asarray(rng.normal(size=(16, d)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(falkon_predict_classes(chunked, x)),
+        np.asarray(falkon_predict_classes(full, x)),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(chunked.exists),
+                                  np.asarray(full.exists))
