@@ -130,6 +130,7 @@ def main(argv=None):
         and not args.save_RPN_detector_segmentation_features
         and not args.load_RPN_detector_segmentation_features
     )
+    extraction_end = None
     if args.load_RPN_detector_segmentation_models:
         online = ckpt.load_online_models(output_dir)
     elif use_device_pipeline:
@@ -142,6 +143,7 @@ def main(argv=None):
             min_size=extras["min_size_test"], max_size=extras["max_size_test"],
             batch_size=args.images_per_batch,
         )
+        extraction_end = time.time()
         # list form transfers ownership: reservoirs are freed stage-by-stage
         holder = [state]
         del state
@@ -159,6 +161,7 @@ def main(argv=None):
                 dcfg=det_cfg, output_dir=output_dir,
                 min_size=extras["min_size_test"], max_size=extras["max_size_test"],
             )
+            extraction_end = time.time()
             if args.save_RPN_detector_segmentation_features:
                 ckpt.save_features(output_dir, harvest)
         online = pipe.train_online_modules(
@@ -170,10 +173,19 @@ def main(argv=None):
     train_time = time.time() - total_t0
     with open(os.path.join(output_dir, "result.txt"), "a") as fid:
         fid.write(
-            "Total training time: {}min:{}s \n".format(
+            "\nTotal training time: {}min:{}s \n".format(
                 int(train_time / 60), round(train_time % 60)
             )
         )
+        # reference also records the solver-only time
+        # (``run_experiment_online_rpn_ood_oos.py:275-277``)
+        if extraction_end is not None:
+            tr_time = time.time() - extraction_end
+            fid.write(
+                "Training time for the online modules: {}min:{}s \n\n".format(
+                    int(tr_time / 60), round(tr_time % 60)
+                )
+            )
 
     results, _ = pipe.run_inference(
         params, online, test_ds, canvas, det_cfg,
