@@ -150,11 +150,13 @@ def main(argv=None):
         online = dpipe.train_online_modules_device(
             jax.random.key(2), holder, train_cfg, output_dir
         )
+        solver_end = time.time()
         if args.save_RPN_detector_segmentation_models:
             ckpt.save_online_models(output_dir, online)
     else:
         if args.load_RPN_detector_segmentation_features:
             harvest = ckpt.load_features(output_dir)
+            extraction_end = time.time()  # solver time excludes the load
         else:
             harvest = pipe.harvest_dataset(
                 jax.random.key(1), params, train_ds, train_cfg, canvas,
@@ -167,6 +169,7 @@ def main(argv=None):
         online = pipe.train_online_modules(
             jax.random.key(2), harvest, train_cfg, output_dir
         )
+        solver_end = time.time()
         if args.save_RPN_detector_segmentation_models:
             ckpt.save_online_models(output_dir, online)
 
@@ -180,7 +183,7 @@ def main(argv=None):
         # reference also records the solver-only time
         # (``run_experiment_online_rpn_ood_oos.py:275-277``)
         if extraction_end is not None:
-            tr_time = time.time() - extraction_end
+            tr_time = solver_end - extraction_end
             fid.write(
                 "Training time for the online modules: {}min:{}s \n\n".format(
                     int(tr_time / 60), round(tr_time % 60)

@@ -272,59 +272,3 @@ def device_feature_stats_pool(
     norms = jnp.linalg.norm(all_rows, axis=1)
     mean_norm = jnp.sum(norms * w) / n
     return FeatureStats(mean=mean, std=jnp.sqrt(var), mean_norm=mean_norm)
-
-
-def device_feature_stats(
-    key: jax.Array,
-    pos: Pool,
-    neg_rows: jax.Array,  # [C, I, B, d] batched negatives
-    neg_valid: jax.Array,
-    num_samples: int = 4000,
-    pos_fraction: float = 0.8,
-) -> FeatureStats:
-    """On-device port of ``computeFeatStatistics_torch`` (sample-with-
-    replacement per class / per negative batch, masked mean/std/mean-norm)."""
-    from online_detection_tpu.engine.harvest import masked_sample
-
-    c = pos.rows.shape[0]
-    n_batches = neg_rows.shape[1]
-    take_pos = math.ceil((num_samples / c) * pos_fraction)
-    take_neg = math.ceil((num_samples / c) * (1 - pos_fraction) / max(n_batches, 1))
-
-    kp, kn = jax.random.split(key)
-
-    def pos_cls(k, rows, count):
-        idx, valid = masked_sample(
-            k, jnp.arange(rows.shape[0]) < count, take_pos
-        )
-        return rows[idx], valid
-
-    p_rows, p_valid = jax.vmap(pos_cls)(
-        jax.random.split(kp, c), pos.rows, pos.counts
-    )
-
-    def neg_cls(k, rows, valid):
-        def per_batch(kb, rb, vb):
-            idx, v = masked_sample(kb, vb, take_neg)
-            return rb[idx], v
-
-        return jax.vmap(per_batch)(jax.random.split(k, n_batches), rows, valid)
-
-    n_rows, n_valid = jax.vmap(neg_cls)(
-        jax.random.split(kn, c), neg_rows, neg_valid
-    )
-
-    d = pos.rows.shape[-1]
-    all_rows = jnp.concatenate(
-        [p_rows.reshape(-1, d), n_rows.reshape(-1, d)], axis=0
-    )
-    all_valid = jnp.concatenate([p_valid.reshape(-1), n_valid.reshape(-1)])
-    w = all_valid.astype(jnp.float32)
-    n = jnp.maximum(jnp.sum(w), 1.0)
-    mean = jnp.sum(all_rows * w[:, None], axis=0) / n
-    var = jnp.sum(((all_rows - mean) ** 2) * w[:, None], axis=0) / jnp.maximum(
-        n - 1.0, 1.0
-    )
-    norms = jnp.linalg.norm(all_rows, axis=1)
-    mean_norm = jnp.sum(norms * w) / n
-    return FeatureStats(mean=mean, std=jnp.sqrt(var), mean_norm=mean_norm)

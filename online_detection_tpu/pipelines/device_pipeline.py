@@ -135,7 +135,7 @@ def _jit_batched_chunks_accumulate(hcfg: HarvestConfig, with_rpn: bool,
 
 @functools.lru_cache(maxsize=None)
 def _jit_chunk_split(chunk: int, iterations: int, batch_size: int,
-                     shuffle: bool):
+                     mode: str):
     """Slice a class-chunk out of a negative pool and split it into
     minibootstrap batches, fused in ONE program — the full-width
     [C, I, B, d] split plus the pool plus the solver temporaries exceed the
@@ -146,16 +146,20 @@ def _jit_chunk_split(chunk: int, iterations: int, batch_size: int,
         sub = jax.lax.dynamic_slice_in_dim(rows, lo, chunk, axis=0)
         scnt = jax.lax.dynamic_slice_in_dim(counts, lo, chunk, axis=0)
         pool = dacc.Pool(sub, scnt)
-        if shuffle:
+        if mode == "shuffle":  # SHUFFLE_NEGATIVES=True
             return dacc.shuffle_split(key, pool, iterations, batch_size)
-        return dacc.interleave_split(pool, iterations, batch_size)
+        if mode == "interleave":  # SHUFFLE_NEGATIVES=False round-robin analog
+            return dacc.interleave_split(pool, iterations, batch_size)
+        # "arrival": consecutive arrival-order batches (segmentation pools,
+        # SEGMENTATION.BATCH_SIZE semantics)
+        return dacc.arrival_split(pool, iterations, batch_size)
 
     return jax.jit(f)
 
 
 def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
                         iterations: int, batch_size: int,
-                        shuffle: bool, chunk: int):
+                        mode: str, chunk: int):
     """Minibootstrap a whole head class-chunk-wise: split chunk -> train
     chunk -> release, bounding the HBM working set. The tail chunk is
     handled by sliding the window back (dynamic_slice clamps), retraining a
@@ -163,8 +167,10 @@ def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
     from online_detection_tpu.solvers.falkon import FalkonModel
 
     c = pos.shape[0]
+    if chunk is None or chunk <= 0:
+        chunk = c  # <=0/None disables chunking (full-width vmap)
     chunk = min(chunk, c)
-    split_fn = _jit_chunk_split(chunk, iterations, batch_size, shuffle)
+    split_fn = _jit_chunk_split(chunk, iterations, batch_size, mode)
     centers_parts, alpha_parts, exists_parts = [], [], []
     lo = 0
     while lo < c:
@@ -346,8 +352,13 @@ def train_online_modules_device(
     """
     if isinstance(state, list):
         state = state.pop()  # take the only reference
-    from online_detection_tpu.utils.telemetry import device_memory_mb, setup_logger
+    from online_detection_tpu.utils.telemetry import (
+        device_memory_mb,
+        setup_logger,
+        teardown_logger,
+    )
 
+    teardown_logger("online_detection_tpu.train")  # fresh handlers per run
     logger = setup_logger("online_detection_tpu.train", output_dir)
 
     def _log_mem(stage):
@@ -376,7 +387,8 @@ def train_online_modules_device(
                 hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
             ),
             stats_rpn, cfg.iterations, cfg.batch_size,
-            cfg.rpn_shuffle_negatives, cfg.solver_class_chunk,
+            "shuffle" if cfg.rpn_shuffle_negatives else "interleave",
+            cfg.solver_class_chunk,
         )
         state = state._replace(rpn_neg=None)
         _write_result(
@@ -465,7 +477,8 @@ def train_online_modules_device(
             hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
         ),
         stats_det, cfg.iterations, cfg.batch_size,
-        cfg.shuffle_negatives, cfg.solver_class_chunk,
+        "shuffle" if cfg.shuffle_negatives else "interleave",
+        cfg.solver_class_chunk,
     )
     pos = pos_valid = det_pos_pool = None
     state = state._replace(det_neg=None, det_pos=None, det_coxy=None)
@@ -499,7 +512,7 @@ def train_online_modules_device(
                 m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
                 hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
             ),
-            stats_seg, seg_iters, cfg.segm_batch_size, False,
+            stats_seg, seg_iters, cfg.segm_batch_size, "arrival",
             cfg.solver_class_chunk,
         )
         state = state._replace(mask_pos=None, mask_neg=None)
@@ -512,4 +525,5 @@ def train_online_modules_device(
         online_mask = OnlineMaskModels(falkon=seg_falkon, stats=stats_seg)
         _log_mem("after segmentation stage")
 
+    teardown_logger("online_detection_tpu.train")
     return OnlineModelSet(rpn=online_rpn, detector=online_det, mask=online_mask)

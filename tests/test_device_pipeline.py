@@ -233,3 +233,29 @@ def test_batched_harvest_matches_unbatched(tmp_path, rng):
     anchors = jnp.asarray(grid_anchors(8, 12))
     t, *_ = jt(params, None, anchors, canv, sizes, gb, gv)
     assert len({s.device.id for s in t.addressable_shards}) == 8
+
+
+def test_chunk_split_modes(rng):
+    """_jit_chunk_split slices a class window and splits it in the requested
+    mode; 'arrival' keeps consecutive arrival-order batches (segmentation
+    semantics), 'interleave' stride-deals, 'shuffle' permutes."""
+    from online_detection_tpu.pipelines.device_pipeline import _jit_chunk_split
+
+    c, cap, d = 4, 12, 1
+    rows = jnp.asarray(
+        np.arange(c * cap, dtype=np.float32).reshape(c, cap, 1)
+    )
+    counts = jnp.full((c,), 10, jnp.int32)
+    for mode in ("arrival", "interleave", "shuffle"):
+        fn = _jit_chunk_split(2, 2, 5, mode)
+        batches, valid = fn(jax.random.key(0), rows, counts, 2)
+        assert batches.shape == (2, 2, 5, 1)
+        assert int(valid.sum()) == 20  # 10 valid rows per class x 2 classes
+        got = np.sort(np.asarray(batches[0, :, :, 0]).reshape(-1))
+        np.testing.assert_array_equal(got, np.arange(24, 34))  # class 2 rows
+    arr, _ = _jit_chunk_split(2, 2, 5, "arrival")(
+        jax.random.key(0), rows, counts, 2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(arr[0, 0, :, 0]), np.arange(24, 29)  # consecutive
+    )
