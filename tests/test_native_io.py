@@ -82,3 +82,28 @@ def test_prefetcher(synth):
         assert canvas.shape == (128, 192, 3)
         assert canvas[:sh, :sw].any()
     pf.close()
+
+
+def test_canvas_loader_native_matches_sync(tmp_path):
+    """data/loader.CanvasLoader: the native prefetch path and the PIL
+    fallback produce identical canvases/scales for the same dataset."""
+    from online_detection_tpu.data import transforms
+    from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+    from online_detection_tpu.data.loader import CanvasLoader
+    from tests.fixtures import make_synthetic_icwt
+
+    root = str(tmp_path / "ycbv_synth")
+    make_synthetic_icwt(root, n_train=3, n_test=1)
+    ds = ICubWorldDataset(root, "Main", "train")
+    with CanvasLoader(ds, (128, 192), 128, 320) as loader:
+        for i in range(len(ds)):
+            canvas, scale, (sw, sh) = loader.get(i)
+            ref_c, ref_s, (rw, rh) = transforms.preprocess_image_u8(
+                ds.load_image(i), (128, 192), 128, 320
+            )
+            assert (sw, sh) == (rw, rh)
+            assert abs(scale - ref_s) < 1e-5
+            # PIL antialiases downscales; pure bilinear doesn't — same
+            # tolerance as test_prepare_canvas_matches_python
+            diff = np.abs(canvas.astype(np.int16) - ref_c.astype(np.int16))
+            assert float(diff.mean()) < 12.0, float(diff.mean())
