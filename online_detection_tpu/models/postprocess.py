@@ -54,7 +54,8 @@ def postprocess_detections(
 ) -> Detections:
     n_cls = scores.shape[1]  # C+1
     refined = box_ops.decode_boxes(deltas, proposals, clip_exp=False)
-    refined = box_ops.clip_boxes_to_image(refined, image_size)  # [R, (C+1)*4]
+    # decode_boxes_detector's asymmetric clamp (py_od_utils.py:269-272)
+    refined = box_ops.clip_boxes_one_sided(refined, image_size)  # [R, (C+1)*4]
     per_class_boxes = refined.reshape(-1, n_cls, 4).transpose(1, 0, 2)  # [C+1, R, 4]
     per_class_scores = scores.T  # [C+1, R]
     keep = (per_class_scores > score_thresh) & proposals_valid[None, :]

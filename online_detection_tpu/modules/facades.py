@@ -279,5 +279,10 @@ class RegionRefiner(abstract.RegionRefinerAbstract):
         deltas = rls_predict(self.models, jnp.asarray(features))  # [N, C, 4]
         n, c = deltas.shape[0], deltas.shape[1]
         flat = deltas.reshape(n, c * 4)
-        decoded = box_ops.decode_boxes(flat, jnp.asarray(boxes), clip_exp=False)
-        return np.asarray(box_ops.clip_boxes_to_image(decoded, image_size))
+        # the standalone predictor decodes with the eps width convention and
+        # the one-sided clamp (``predict_regions.py:55-70``)
+        decoded = box_ops.decode_boxes(
+            flat, jnp.asarray(boxes), clip_exp=False,
+            src_size_offset=float(np.spacing(1)),
+        )
+        return np.asarray(box_ops.clip_boxes_one_sided(decoded, image_size))

@@ -17,13 +17,20 @@ TPU design differences from the reference (same fixpoint, different shape):
   positive prefix followed by one static slot-block per negative batch.
   Hard mining writes validity bits instead of concatenating; easy pruning
   clears them instead of slicing. Every iteration sees the same shapes, so
-  the whole loop is ONE ``lax.fori_loop`` body compiled once — masked-out
+  the whole loop is ONE ``lax.scan`` body compiled once — masked-out
   future blocks simply carry zero weight in the normal equations.
 - The per-class loop is **vmapped**: all C classifiers (21 detector classes,
   15 RPN anchor shapes, C segmentation heads) run their minibootstrap
   *concurrently* as one batched program — the reference trains them
   sequentially (``OnlineRegionClassifier.py:100``). The class axis is also
   the natural mesh axis for multi-chip sharding (see parallel/mesh.py).
+
+The model-fitting and scoring steps are **injectable** (``fit_fn`` /
+``score_fn``): production uses FALKON, while the differential parity suite
+(``tests/test_reference_parity.py``) drives this exact loop with the same
+deterministic stub classifier it plugs into the literal reference
+``trainWithMinibootstrap`` and asserts identical cache membership per
+iteration. The scan emits the cache-validity trace for that purpose.
 
 Feature z-scoring (``zScores``: (x - mean) * (20 / mean_norm),
 ``py_od_utils.py:98-102``) is the caller's job, as in the reference
@@ -32,6 +39,7 @@ Feature z-scoring (``zScores``: (x - mean) * (20 / mean_norm),
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -60,6 +68,34 @@ class MinibootstrapParams(NamedTuple):
     maxiter: int = 20
 
 
+def _falkon_fit_fn(key, cache_x, y, cache_is_pos, cache_valid, params):
+    """Production model update: Nystrom center re-selection + FALKON fit."""
+    c_idx = select_nystrom_centers(key, cache_is_pos, cache_valid, params.m)
+    centers = cache_x[c_idx]
+    alpha = falkon_fit(
+        cache_x,
+        y,
+        cache_valid.astype(jnp.float32),
+        centers,
+        params.sigma,
+        params.lam,
+        maxiter=params.maxiter,
+    )
+    return alpha, centers
+
+
+def _falkon_score_fn(model, x, params):
+    alpha, centers = model
+    return mmv_xla(x, centers, alpha, params.sigma)
+
+
+def _falkon_init_fn(p_cap, d, params):
+    return (
+        jnp.zeros((params.m,), jnp.float32),
+        jnp.zeros((params.m, d), jnp.float32),
+    )
+
+
 def _train_one_class(
     key: jax.Array,
     pos: jax.Array,  # [P, d]
@@ -68,6 +104,9 @@ def _train_one_class(
     neg_valid: jax.Array,  # [I, B]
     stats,  # Optional[FeatureStats] — z-score INSIDE the program (see below)
     params: MinibootstrapParams,
+    fit_fn=_falkon_fit_fn,
+    score_fn=_falkon_score_fn,
+    init_fn=_falkon_init_fn,
 ):
     if stats is not None:
         # normalizing inside the jit keeps the z-scored features a program
@@ -88,54 +127,79 @@ def _train_one_class(
     )
     y = jnp.where(cache_is_pos, 1.0, -1.0).astype(jnp.float32)
 
-    def body(j, state):
-        alpha, centers, neg_mask = state
+    def body(state, j):
+        model, neg_mask = state
         block = jax.lax.dynamic_slice_in_dim(neg_flat, j * batch, batch, axis=0)
         block_valid = neg_valid[j]
-        scores = mmv_xla(block, centers, alpha, params.sigma)
+        scores = score_fn(model, block, params)
         hard = block_valid & (scores > params.hard_thresh)
         # first batch: no model yet — everything valid goes in
         hard = jnp.where(j == 0, block_valid, hard)
         neg_mask = jax.lax.dynamic_update_slice_in_dim(neg_mask, hard, j * batch, 0)
 
         cache_valid = jnp.concatenate([pos_valid, neg_mask])
-        c_idx = select_nystrom_centers(
-            jax.random.fold_in(key, j), cache_is_pos, cache_valid, params.m
-        )
-        centers = cache_x[c_idx]
-        alpha = falkon_fit(
-            cache_x,
-            y,
-            cache_valid.astype(jnp.float32),
-            centers,
-            params.sigma,
-            params.lam,
-            maxiter=params.maxiter,
+        model = fit_fn(
+            jax.random.fold_in(key, j), cache_x, y, cache_is_pos, cache_valid,
+            params,
         )
 
         # easy pruning over the (valid) negative slots
-        neg_scores = mmv_xla(neg_flat, centers, alpha, params.sigma)
+        neg_scores = score_fn(model, neg_flat, params)
         neg_mask = neg_mask & (neg_scores >= params.easy_thresh)
-        return alpha, centers, neg_mask
+        return (model, neg_mask), (cache_valid, neg_mask)
 
-    state0 = (
-        jnp.zeros((params.m,), jnp.float32),
-        jnp.zeros((params.m, d), pos.dtype),
-        jnp.zeros((n_iter * batch,), bool),
-    )
-    alpha, centers, _ = jax.lax.fori_loop(0, n_iter, body, state0)
+    state0 = (init_fn(p_cap, d, params), jnp.zeros((n_iter * batch,), bool))
+    (model, _), trace = jax.lax.scan(body, state0, jnp.arange(n_iter))
     exists = (jnp.sum(pos_valid) > 0) & (jnp.sum(neg_valid) > 0)
+    return model, exists, trace
+
+
+# ONE jitted program per (fit, score) pair — production always hits the same
+# cache entry (a fresh jit wrapper per call would recompile the whole
+# minibootstrap graph on every invocation); params determines shapes (m) ->
+# static; sigma stays a Python float on the model so downstream Pallas
+# dispatch keeps it compile-time constant
+@functools.lru_cache(maxsize=None)
+def _make_train_program(fit_fn, score_fn, init_fn):
+    fn = functools.partial(
+        _train_one_class, fit_fn=fit_fn, score_fn=score_fn, init_fn=init_fn
+    )
+    return jax.jit(
+        jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None, None)),
+        static_argnums=(6,),
+    )
+
+
+def _train_all_classes(keys, pos, pos_valid, neg, neg_valid, stats, params):
+    program = _make_train_program(_falkon_fit_fn, _falkon_score_fn, _falkon_init_fn)
+    (alpha, centers), exists, _ = program(
+        keys, pos, pos_valid, neg, neg_valid, stats, params
+    )
     return centers, alpha, exists
 
 
-# ONE jitted program for all callers (a fresh jit wrapper per call would
-# recompile the whole minibootstrap graph on every invocation); params
-# determines shapes (m) -> static; sigma stays a Python float on the model
-# so downstream Pallas dispatch keeps it compile-time constant
-_train_all_classes = jax.jit(
-    jax.vmap(_train_one_class, in_axes=(0, 0, 0, 0, 0, None, None)),
-    static_argnums=(6,),
-)
+def minibootstrap_trace(
+    keys: jax.Array,
+    pos: jax.Array,
+    pos_valid: jax.Array,
+    neg: jax.Array,
+    neg_valid: jax.Array,
+    params: MinibootstrapParams,
+    fit_fn=_falkon_fit_fn,
+    score_fn=_falkon_score_fn,
+    init_fn=_falkon_init_fn,
+):
+    """Run the production mining loop and return its per-iteration cache trace.
+
+    Returns ``(model, exists, (cache_valid [C, I, P+I*B], neg_mask
+    [C, I, I*B]))`` — ``cache_valid[c, j]`` is the cache membership at the
+    j-th model update (what the reference trains on at iteration j),
+    ``neg_mask[c, j]`` the negative-slot membership after easy pruning.
+    Pluggable ``fit_fn``/``score_fn`` let the differential parity suite drive
+    the identical loop with the stub classifier it plugs into the reference.
+    """
+    program = _make_train_program(fit_fn, score_fn, init_fn)
+    return program(keys, pos, pos_valid, neg, neg_valid, None, params)
 
 
 def train_classifiers_minibootstrap(

@@ -102,6 +102,7 @@ def decode_boxes(
     boxes: jax.Array,
     weights: Tuple[float, float, float, float] = (1.0, 1.0, 1.0, 1.0),
     clip_exp: bool = True,
+    src_size_offset: float = TO_REMOVE,
 ) -> jax.Array:
     """Decode (dx,dy,dw,dh) deltas against anchor/proposal boxes.
 
@@ -112,10 +113,15 @@ def decode_boxes(
     With ``clip_exp`` the dw/dh are clamped at log(1000/16) (stock box coder,
     used by the RPN postprocessor); the on-line detector decode
     (``decode_boxes_detector``) does NOT clamp — pass ``clip_exp=False`` there.
+
+    ``src_size_offset``: the source width/height convention. The reference is
+    inconsistent here: ``decode_boxes_detector`` uses ``x2 - x1 + 1`` while the
+    standalone ``RegionPredictor`` uses ``x2 - x1 + np.spacing(1)``
+    (``predict_regions.py:55-56``) — pass ``np.spacing(1)`` for that path.
     """
     wx, wy, ww, wh = weights
-    w = boxes[..., 2] - boxes[..., 0] + TO_REMOVE
-    h = boxes[..., 3] - boxes[..., 1] + TO_REMOVE
+    w = boxes[..., 2] - boxes[..., 0] + src_size_offset
+    h = boxes[..., 3] - boxes[..., 1] + src_size_offset
     cx = boxes[..., 0] + 0.5 * w
     cy = boxes[..., 1] + 0.5 * h
 
@@ -149,6 +155,22 @@ def clip_boxes_to_image(boxes: jax.Array, image_size: Tuple[int, int]) -> jax.Ar
     x = jnp.clip(boxes[..., 0::2], 0.0, w - TO_REMOVE)
     y = jnp.clip(boxes[..., 1::2], 0.0, h - TO_REMOVE)
     out = jnp.stack([x, y], axis=-1)  # [..., 2K, 2] -> interleave x,y
+    return out.reshape(*boxes.shape[:-1], -1)
+
+
+def clip_boxes_one_sided(boxes: jax.Array, image_size: Tuple[int, int]) -> jax.Array:
+    """The on-line detector's asymmetric clamp
+    (``py_od_utils.decode_boxes_detector:269-272``, ``predict_regions.py:67-70``):
+    x1/y1 clamped only from BELOW at 0, x2/y2 only from ABOVE at W-1/H-1 —
+    unlike BoxList.clip_to_image there is no cross clamping, so a box fully
+    outside the image keeps its out-of-range near coordinate. Kept verbatim
+    for numerical parity. boxes: [..., 4] or [..., 4*K]."""
+    w, h = image_size
+    x1 = jnp.maximum(boxes[..., 0::4], 0.0)
+    y1 = jnp.maximum(boxes[..., 1::4], 0.0)
+    x2 = jnp.minimum(boxes[..., 2::4], w - TO_REMOVE)
+    y2 = jnp.minimum(boxes[..., 3::4], h - TO_REMOVE)
+    out = jnp.stack([x1, y1, x2, y2], axis=-1)  # [..., K, 4]
     return out.reshape(*boxes.shape[:-1], -1)
 
 

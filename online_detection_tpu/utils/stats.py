@@ -42,6 +42,7 @@ def compute_feature_stats(
     neg_valid: jax.Array,  # [C, I, B]
     num_samples: int = 4000,
     pos_fraction: Optional[float] = None,
+    index_fn=None,
 ) -> FeatureStats:
     """Masked-buffer port of ``computeFeatStatistics_torch``.
 
@@ -50,7 +51,14 @@ def compute_feature_stats(
     ``ceil(num_samples/C * (1-pos_fraction) / I)`` rows per (class, batch)
     from valid negatives; classes/batches with no valid rows contribute none.
     Host-side NumPy — this is a one-shot statistic, not a hot path.
+
+    ``index_fn(n, size) -> indices`` overrides the with-replacement sampling;
+    the differential parity suite pins it (and the reference's unseeded
+    ``torch.randint``) to one deterministic scheme so both sides sample the
+    identical rows.
     """
+    if index_fn is None:
+        index_fn = lambda n, size: rng.integers(0, n, size=size)
     if pos_fraction is None:
         pos_fraction = 0.1
     neg_fraction = 1.0 - pos_fraction
@@ -69,11 +77,11 @@ def compute_feature_stats(
     for i in range(c):
         vidx = np.nonzero(pv[i])[0]
         if len(vidx):
-            rows.append(pos[i][rng.choice(vidx, size=take_pos, replace=True)])
+            rows.append(pos[i][vidx[np.asarray(index_fn(len(vidx), take_pos))]])
         for j in range(n_batches):
             vj = np.nonzero(nv[i, j])[0]
             if len(vj):
-                rows.append(neg[i, j][rng.choice(vj, size=take_neg, replace=True)])
+                rows.append(neg[i, j][vj[np.asarray(index_fn(len(vj), take_neg))]])
     sampled = np.concatenate(rows, axis=0)
     norms = np.linalg.norm(sampled, axis=1)
     return FeatureStats(
