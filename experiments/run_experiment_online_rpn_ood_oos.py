@@ -92,6 +92,7 @@ def main(argv=None):
         pos_fraction_feat_stats=args.pos_fraction_feat_stats,
         use_only_gt_positives_detection=args.use_only_gt_positives_detection,
         normalize_features_regressor_detector=args.normalize_features_regressor_detector,
+        sampling_ratio_positives_detection=args.sampling_ratio_positives_detection,
     )
     det_cfg = det_cfg._replace(
         normalize_regressor_features=args.normalize_features_regressor_detector
@@ -155,7 +156,17 @@ def main(argv=None):
             ckpt.save_online_models(output_dir, online)
     else:
         if args.load_RPN_detector_segmentation_features:
-            harvest = ckpt.load_features(output_dir)
+            # reference loader semantics (load_features_classifier): re-batch
+            # negatives under SHUFFLE_NEGATIVES with the (possibly overridden)
+            # ITERATIONS/BATCH_SIZE; subsample segmentation pools at the ratio
+            harvest = ckpt.load_features(
+                output_dir,
+                det_shuffle_negatives=train_cfg.shuffle_negatives,
+                rpn_shuffle_negatives=train_cfg.rpn_shuffle_negatives,
+                iterations=train_cfg.iterations,
+                batch_size=train_cfg.batch_size,
+                sampling_ratio_segmentation=args.sampling_ratio_segmentation,
+            )
             extraction_end = time.time()  # solver time excludes the load
         else:
             harvest = pipe.harvest_dataset(

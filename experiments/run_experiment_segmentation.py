@@ -82,7 +82,13 @@ def main(argv=None):
         online = ckpt.load_online_models(output_dir)
     else:
         if args.load_detector_segmentation_features:
-            harvest = ckpt.load_features(output_dir)
+            harvest = ckpt.load_features(
+                output_dir,
+                det_shuffle_negatives=train_cfg.shuffle_negatives,
+                iterations=train_cfg.iterations,
+                batch_size=train_cfg.batch_size,
+                sampling_ratio_segmentation=args.sampling_ratio_segmentation,
+            )
         else:
             harvest = pipe.harvest_dataset(
                 jax.random.key(1), params, train_ds, train_cfg, canvas,

@@ -51,15 +51,17 @@ class _ClassPools:
 
 
 def _pad_stack(arrays: List[np.ndarray], cap: int, dim: int):
-    """[C] list of [n_c, dim] -> ([C, cap, dim], [C, cap] valid)."""
+    """[C] list of [n_c, dim] -> ([C, cap, dim], [C, cap] valid, dropped)."""
     c = len(arrays)
     out = np.zeros((c, cap, dim), np.float32)
     valid = np.zeros((c, cap), bool)
+    dropped = 0
     for i, a in enumerate(arrays):
         n = min(len(a), cap)
+        dropped += len(a) - n
         out[i, :n] = a[:n]
         valid[i, :n] = True
-    return out, valid
+    return out, valid, dropped
 
 
 def _batch_split(pool: np.ndarray, iterations: int, batch_size: int, dim: int,
@@ -77,7 +79,7 @@ def _batch_split(pool: np.ndarray, iterations: int, batch_size: int, dim: int,
             break
         out[b, : hi - lo] = pool[lo:hi]
         valid[b, : hi - lo] = True
-    return out, valid
+    return out, valid, max(0, n - iterations * batch_size)
 
 
 def _round_robin_split(image_chunks: List[np.ndarray], iterations: int,
@@ -108,7 +110,8 @@ def _round_robin_split(image_chunks: List[np.ndarray], iterations: int,
             if idx >= npick:
                 break
     valid = np.arange(batch_size)[None, :] < fill[:, None]
-    return out, valid
+    total = sum(len(r) for r in image_chunks)
+    return out, valid, max(0, total - int(fill.sum()))
 
 
 class HarvestAccumulator:
@@ -131,6 +134,8 @@ class HarvestAccumulator:
         self.dims = (rpn_dim, det_dim, mask_dim)
         self.rng = np.random.default_rng(seed)
         self.ar_values: List[float] = []
+        # per-image chunk caps (RPN PPOS / COXY-per-image / mask PIX) drops
+        self.harvest_dropped = 0
 
     # -- per-image folding ------------------------------------------------
 
@@ -138,9 +143,12 @@ class HarvestAccumulator:
         chunk = jax.device_get(chunk)
         if chunk.rpn is not None:
             self._add_rpn(chunk.rpn)
+            self.harvest_dropped += int(np.sum(chunk.rpn.pos_dropped))
         self._add_det(chunk.det)
+        self.harvest_dropped += int(chunk.det.coxy_dropped)
         if chunk.mask is not None:
             self._add_mask(chunk.mask)
+            self.harvest_dropped += int(chunk.mask.dropped)
         self.ar_values.append(float(chunk.average_recall))
 
     def _add_rpn(self, r: RPNChunk):
@@ -212,23 +220,26 @@ class HarvestAccumulator:
         pos_cat = [pools.cat("pos", i, dim) for i in range(c)]
         if pos_cap is None:
             pos_cap = max(1, max((len(p) for p in pos_cat), default=1))
-        pos, pos_valid = _pad_stack(pos_cat, pos_cap, dim)
+        pos, pos_valid, pos_dropped = _pad_stack(pos_cat, pos_cap, dim)
         neg = np.zeros((c, iterations, batch_size, dim), np.float32)
         neg_valid = np.zeros((c, iterations, batch_size), bool)
+        neg_dropped = 0
         for i in range(c):
             if shuffle:
                 pool = pools.cat("neg", i, dim)
-                neg[i], neg_valid[i] = _batch_split(
+                neg[i], neg_valid[i], nd = _batch_split(
                     pool, iterations, batch_size, dim, self.rng
                 )
             else:
                 # non-shuffle parity: per-image round-robin batch filling
-                neg[i], neg_valid[i] = _round_robin_split(
+                neg[i], neg_valid[i], nd = _round_robin_split(
                     pools.neg[i], iterations, batch_size, dim
                 )
+            neg_dropped += nd
         return {
             "pos": pos, "pos_valid": pos_valid,
             "neg": neg, "neg_valid": neg_valid,
+            "truncated": {"pos": int(pos_dropped), "neg": int(neg_dropped)},
         }
 
     def finalize(
@@ -273,4 +284,15 @@ class HarvestAccumulator:
             out["mask"] = self.finalize_head(
                 self.mask_pools, mask_dim, seg_iters, segm_batch_size, shuffle=False
             )
+        # overflow accounting: fixed capacities must never truncate silently
+        # (the reference keeps unbounded per-class lists,
+        # ``box_head_getProposals.py:161-172``)
+        trunc = {"harvest": int(self.harvest_dropped)}
+        for k in ("rpn", "det", "mask"):
+            if k in out:
+                t = out[k].pop("truncated")
+                trunc[f"{k}_pos"] = t["pos"]
+                trunc[f"{k}_neg"] = t["neg"]
+        trunc["total"] = sum(trunc.values())
+        out["truncation"] = trunc
         return out

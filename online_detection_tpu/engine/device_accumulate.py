@@ -35,10 +35,18 @@ from online_detection_tpu.utils.stats import FeatureStats
 
 
 class Pool(NamedTuple):
-    """[C, cap, d] rows + per-class counts."""
+    """[C, cap, d] rows + per-class counts.
+
+    ``attempted`` counts every valid row ever offered to the pool, so
+    ``attempted - counts`` is the number of rows a saturated reservoir
+    DROPPED — surfaced as the ``truncated:`` result.txt line (the reference
+    keeps unbounded lists, ``box_head_getProposals.py:161-172``; fixed
+    capacities must not truncate silently). None on derived pools that are
+    not accumulation targets."""
 
     rows: jax.Array
     counts: jax.Array  # [C] int32
+    attempted: Optional[jax.Array] = None  # [C] int32
 
     @staticmethod
     def make(c: int, cap: int, d: int, extra: int) -> "Pool":
@@ -47,7 +55,18 @@ class Pool(NamedTuple):
         return Pool(
             rows=jnp.zeros((c, cap + extra, d), jnp.float32),
             counts=jnp.zeros((c,), jnp.int32),
+            attempted=jnp.zeros((c,), jnp.int32),
         )
+
+    def dropped(self) -> int:
+        """Host-side total of rows lost to saturation (0 if untracked)."""
+        if self.attempted is None:
+            return 0
+        import numpy as np
+
+        return int(np.sum(np.maximum(
+            np.asarray(self.attempted) - np.asarray(self.counts), 0
+        )))
 
     @property
     def capacity(self) -> int:
@@ -70,10 +89,13 @@ def _append(pool: Pool, chunk_rows: jax.Array, chunk_valid: jax.Array) -> Pool:
         n_new = jnp.sum(chv).astype(jnp.int32)
         offset = jnp.clip(count, 0, cap - l)
         rows = jax.lax.dynamic_update_slice(rows, ch, (offset, 0))
-        return rows, jnp.minimum(count + n_new, cap - l)
+        return rows, jnp.minimum(count + n_new, cap - l), n_new
 
-    rows, counts = jax.vmap(one)(pool.rows, pool.counts, chunk_rows, chunk_valid)
-    return Pool(rows, counts)
+    rows, counts, n_new = jax.vmap(one)(
+        pool.rows, pool.counts, chunk_rows, chunk_valid
+    )
+    attempted = None if pool.attempted is None else pool.attempted + n_new
+    return Pool(rows, counts, attempted)
 
 
 class DeviceReservoirs(NamedTuple):
@@ -87,6 +109,8 @@ class DeviceReservoirs(NamedTuple):
     mask_neg: Optional[Pool]
     ar_sum: jax.Array
     n_images: jax.Array
+    # harvest-stage drops (per-image chunk caps: RPN PPOS, COXY/img, mask PIX)
+    harvest_dropped: jax.Array
 
 
 def init_reservoirs(
@@ -124,6 +148,7 @@ def init_reservoirs(
         mask_neg=Pool.make(num_classes, mask_cap, mask_dim, gcap * pix) if with_mask else None,
         ar_sum=jnp.zeros(()),
         n_images=jnp.zeros((), jnp.int32),
+        harvest_dropped=jnp.zeros((), jnp.int32),
     )
 
 
@@ -175,6 +200,12 @@ def accumulate(state: DeviceReservoirs, chunk: HarvestChunk, num_classes: int) -
         upd["mask_neg"] = _append(state.mask_neg, neg_rows, neg_valid)
     upd["ar_sum"] = state.ar_sum + chunk.average_recall
     upd["n_images"] = state.n_images + 1
+    hd = chunk.det.coxy_dropped.astype(jnp.int32)
+    if chunk.rpn is not None and state.rpn_neg is not None:
+        hd = hd + jnp.sum(chunk.rpn.pos_dropped).astype(jnp.int32)
+    if chunk.mask is not None and state.mask_pos is not None:
+        hd = hd + chunk.mask.dropped.astype(jnp.int32)
+    upd["harvest_dropped"] = state.harvest_dropped + hd
     return state._replace(**upd)
 
 

@@ -72,6 +72,7 @@ class RPNChunk(NamedTuple):
     pos: jax.Array  # [A, PPOS, 1024]
     pos_valid: jax.Array  # [A, PPOS]
     coxy_y: jax.Array  # [A, PPOS, 4] regression targets for the positives
+    pos_dropped: jax.Array  # [A] positives lost to the per-image PPOS cap
 
 
 class DetChunk(NamedTuple):
@@ -84,6 +85,7 @@ class DetChunk(NamedTuple):
     coxy_y: jax.Array  # [COXY_CAP, 4]
     coxy_c: jax.Array  # [COXY_CAP] 1-based labels
     coxy_valid: jax.Array  # [COXY_CAP]
+    coxy_dropped: jax.Array  # scalar: COXY rows lost to the per-image cap
 
 
 class MaskChunk(NamedTuple):
@@ -93,6 +95,7 @@ class MaskChunk(NamedTuple):
     neg_valid: jax.Array  # [G, PIX]
     labels: jax.Array  # [G] 1-based
     labels_valid: jax.Array  # [G]
+    dropped: jax.Array  # scalar: sampled pixels lost to the PIX cap
 
 
 class HarvestChunk(NamedTuple):
@@ -185,17 +188,19 @@ def harvest_rpn(
     keys = jax.random.split(key, a_cls)
 
     def per_class(a, k):
+        pos_mask = pos_pool & (anchor_cls == a)
         neg_idx, neg_valid = masked_sample(
             k, neg_pool & (anchor_cls == a), cfg.negatives_to_pick
         )
-        pos_idx, pos_valid = compact(pos_pool & (anchor_cls == a), cfg.rpn_pos_cap)
+        pos_idx, pos_valid = compact(pos_mask, cfg.rpn_pos_cap)
         neg_feats = feats_flat[anchor_loc[neg_idx]]
         pos_feats = feats_flat[anchor_loc[pos_idx]]
         targets = box_ops.encode_boxes(gt_boxes[best_gt[pos_idx]], anchors[pos_idx])
-        return neg_feats, neg_valid, pos_feats, pos_valid, targets
+        dropped = jnp.maximum(jnp.sum(pos_mask) - cfg.rpn_pos_cap, 0)
+        return neg_feats, neg_valid, pos_feats, pos_valid, targets, dropped
 
-    neg, negv, pos, posv, coxy_y = jax.vmap(per_class)(jnp.arange(a_cls), keys)
-    return RPNChunk(neg, negv, pos, posv, coxy_y)
+    neg, negv, pos, posv, coxy_y, posd = jax.vmap(per_class)(jnp.arange(a_cls), keys)
+    return RPNChunk(neg, negv, pos, posv, coxy_y, posd)
 
 
 # --------------------------------------------------------------------------
@@ -262,8 +267,10 @@ def harvest_detector(
         return feats[idx], valid
 
     neg, negv = jax.vmap(per_class)(jnp.arange(n_cls), nkeys)
+    coxy_dropped = jnp.maximum(jnp.sum(coxy_mask) - cfg.coxy_cap, 0)
     return DetChunk(
-        pos, gt_labels, pos_valid, neg, negv, coxy_x, coxy_y, coxy_c, cvalid
+        pos, gt_labels, pos_valid, neg, negv, coxy_x, coxy_y, coxy_c, cvalid,
+        coxy_dropped,
     )
 
 
@@ -323,10 +330,14 @@ def harvest_mask(
     def per_gt(f, pospix, ks, valid):
         pi, pv = random_subsample(ks[0], pospix, cfg.sampling_factor, cfg.mask_pix_cap)
         ni, nv = random_subsample(ks[1], ~pospix, cfg.sampling_factor, cfg.mask_pix_cap)
-        return f[pi], pv & valid, f[ni], nv & valid
+        want = (jnp.floor(cfg.sampling_factor * jnp.sum(pospix))
+                + jnp.floor(cfg.sampling_factor * jnp.sum(~pospix))).astype(jnp.int32)
+        got = jnp.sum(pv & valid) + jnp.sum(nv & valid)
+        dropped = jnp.maximum(want * valid - got, 0)
+        return f[pi], pv & valid, f[ni], nv & valid, dropped
 
-    pos, posv, neg, negv = jax.vmap(per_gt)(feats, pix_pos, keys, gt_valid)
-    return MaskChunk(pos, posv, neg, negv, gt_labels, gt_valid)
+    pos, posv, neg, negv, dropped = jax.vmap(per_gt)(feats, pix_pos, keys, gt_valid)
+    return MaskChunk(pos, posv, neg, negv, gt_labels, gt_valid, jnp.sum(dropped))
 
 
 # --------------------------------------------------------------------------

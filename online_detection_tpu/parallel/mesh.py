@@ -69,10 +69,14 @@ def _jit_sharded_train(mesh: Mesh, axis_name: str):
     """Class-sharded minibootstrap program, cached per mesh (a fresh jit per
     call would recompile)."""
     cls_sharding = NamedSharding(mesh, P(axis_name))
-    fn = jax.vmap(
-        lambda k, p, pv, n, nv, prm: _train_one_class(k, p, pv, n, nv, None, prm),
-        in_axes=(0, 0, 0, 0, 0, None),
-    )
+
+    def one(k, p, pv, n, nv, prm):
+        (alpha, centers), exists, _trace = _train_one_class(
+            k, p, pv, n, nv, None, prm
+        )
+        return centers, alpha, exists
+
+    fn = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None))
     return jax.jit(
         fn,
         static_argnums=(5,),

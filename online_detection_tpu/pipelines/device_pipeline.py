@@ -333,6 +333,22 @@ def harvest_dataset_device(
         output_dir,
         "Average Recall (AR): {} \n \n".format(meta["average_recall"]),
     )
+    # never truncate silently: per-image chunk caps + saturated reservoirs
+    trunc = {"harvest": int(state.harvest_dropped)}
+    for name in ("rpn_pos", "rpn_neg", "det_pos", "det_neg", "det_coxy",
+                 "mask_pos", "mask_neg"):
+        pool = getattr(state, name)
+        if pool is not None:
+            trunc[name] = pool.dropped()
+    trunc["total"] = sum(trunc.values())
+    meta["truncation"] = trunc
+    if trunc["total"] > 0:
+        import logging
+
+        logging.getLogger("online_detection_tpu.harvest").warning(
+            "fixed-capacity truncation during device harvest: %s", trunc
+        )
+        _write_result(output_dir, "truncated: {} \n".format(trunc))
     return state, meta
 
 
@@ -440,13 +456,25 @@ def train_online_modules_device(
         from online_detection_tpu.engine.harvest import compact
 
         cap_per_class = state.det_pos.rows.shape[1]
+        frac = cfg.sampling_ratio_positives_detection
 
-        def per_class(c):
+        def per_class(key_c, c):
             m = coxy_valid & (coxy_c.astype(jnp.int32) == c + 1)
+            if frac < 1.0:
+                # random subset WITHOUT replacement (load_positives_from_COXY
+                # samples_fraction, ``py_od_utils.py:232``): rank the valid
+                # rows by a uniform draw, keep the floor(n*frac) smallest
+                r = jnp.where(m, jax.random.uniform(key_c, m.shape), 2.0)
+                rank = jnp.argsort(jnp.argsort(r))
+                n_keep = jnp.floor(jnp.sum(m) * frac).astype(jnp.int32)
+                m = m & (rank < n_keep)
             idx, valid = compact(m, cap_per_class)
             return coxy_x[idx], valid
 
-        pos, pos_valid = jax.vmap(per_class)(jnp.arange(cfg.num_classes))
+        pos, pos_valid = jax.vmap(per_class)(
+            jax.random.split(jax.random.fold_in(k_stats, 7), cfg.num_classes),
+            jnp.arange(cfg.num_classes),
+        )
         det_pos_pool = dacc.Pool(
             rows=pos, counts=jnp.sum(pos_valid, axis=1).astype(jnp.int32)
         )

@@ -78,6 +78,11 @@ class OnlineTrainConfig(NamedTuple):
     # misc
     pos_fraction_feat_stats: float = 0.8
     use_only_gt_positives_detection: bool = False
+    # fraction of the COXY rows used as classifier positives when
+    # use_only_gt_positives_detection is off (``--sampling_ratio_positives_
+    # detection``, ``load_positives_from_COXY`` samples_fraction,
+    # ``py_od_utils.py:226-239``)
+    sampling_ratio_positives_detection: float = 1.0
     normalize_features_regressor_detector: bool = False
     segm_batch_size: int = 20000
     with_rpn: bool = True
@@ -198,16 +203,30 @@ def _head_stats(head: Dict, rng: np.random.Generator, pos_fraction: float) -> Fe
     )
 
 
-def _positives_from_coxy(coxy: Dict, num_classes: int):
+def _positives_from_coxy(
+    coxy: Dict,
+    num_classes: int,
+    samples_fraction: float = 1.0,
+    rng: Optional[np.random.Generator] = None,
+):
     """``load_positives_from_COXY`` (``py_od_utils.py:226-239``): per class,
-    the COXY rows labeled with that class become classifier positives."""
-    xs = coxy["X"]
-    cs = coxy["C"].astype(int)
-    cap = max(1, max((int((cs == c + 1).sum()) for c in range(num_classes)), default=1))
-    pos = np.zeros((num_classes, cap, xs.shape[1] if len(xs) else 0), np.float32)
-    valid = np.zeros((num_classes, cap), bool)
+    the COXY rows labeled with that class become classifier positives;
+    ``samples_fraction < 1`` keeps a random subset WITHOUT replacement
+    (``randperm[:int(n*frac)]``, :232)."""
+    xs = np.asarray(coxy["X"])
+    cs = np.asarray(coxy["C"]).astype(int)
+    rng = rng if rng is not None else np.random.default_rng(0)
+    rows_per_class = []
     for c in range(num_classes):
         rows = xs[cs == c + 1]
+        if samples_fraction < 1.0 and len(rows):
+            keep = rng.permutation(len(rows))[: int(len(rows) * samples_fraction)]
+            rows = rows[keep]
+        rows_per_class.append(rows)
+    cap = max(1, max((len(r) for r in rows_per_class), default=1))
+    pos = np.zeros((num_classes, cap, xs.shape[1] if len(xs) else 0), np.float32)
+    valid = np.zeros((num_classes, cap), bool)
+    for c, rows in enumerate(rows_per_class):
         n = min(len(rows), cap)
         if n:
             pos[c, :n] = rows[:n]
@@ -301,6 +320,15 @@ def harvest_dataset(
         output_dir,
         "Average Recall (AR): {} \n \n".format(out["average_recall"]),
     )
+    # never truncate silently: report rows lost to any fixed cap
+    trunc = out.get("truncation", {})
+    if trunc.get("total", 0) > 0:
+        import logging
+
+        logging.getLogger("online_detection_tpu.harvest").warning(
+            "fixed-capacity truncation during harvest: %s", trunc
+        )
+        _write_result(output_dir, "truncated: {} \n".format(trunc))
     out["extraction_time"] = dt
     return out
 
@@ -350,26 +378,21 @@ def train_rpn_module(
     return OnlineRPNModels(falkon=models, rls=rls, stats=stats_rpn)
 
 
-def train_online_modules(
+def train_detector_module(
     key: jax.Array,
-    harvest: Dict,
+    det: Dict,
     cfg: OnlineTrainConfig,
     output_dir: Optional[str] = None,
     seed: int = 0,
-) -> OnlineModelSet:
-    """Stages 2-4: FALKON + RLS training for every on-line module."""
+) -> OnlineDetectorModels:
+    """Stage 3: per-class FALKON classifiers + RLS refiners for the detector."""
     rng = np.random.default_rng(seed)
-    k_rpn, k_det, k_seg = jax.random.split(key, 3)
-
-    online_rpn = None
-    if cfg.with_rpn and "rpn" in harvest:
-        online_rpn = train_rpn_module(k_rpn, harvest["rpn"], cfg, output_dir, seed)
-
-    # ---- detector ----
-    det = harvest["det"]
     coxy = det["coxy"]
     if not cfg.use_only_gt_positives_detection and len(coxy["X"]):
-        pos_np, pos_valid_np = _positives_from_coxy(coxy, cfg.num_classes)
+        pos_np, pos_valid_np = _positives_from_coxy(
+            coxy, cfg.num_classes,
+            samples_fraction=cfg.sampling_ratio_positives_detection, rng=rng,
+        )
         det = dict(det, pos=pos_np, pos_valid=pos_valid_np)
     stats_det = _head_stats(det, rng, cfg.pos_fraction_feat_stats)
 
@@ -392,7 +415,7 @@ def train_online_modules(
     t0 = time.time()
     pos, neg = _zscore_pools(det, stats_det)
     det_falkon = train_classifiers_minibootstrap(
-        k_det, pos, jnp.asarray(det["pos_valid"]),
+        key, pos, jnp.asarray(det["pos_valid"]),
         neg, jnp.asarray(det["neg_valid"]),
         MinibootstrapParams(
             m=cfg.det_m, sigma=cfg.det_sigma, lam=cfg.det_lam,
@@ -406,31 +429,60 @@ def train_online_modules(
             int(dt / 60), round(dt % 60)
         ),
     )
-    online_det = OnlineDetectorModels(falkon=det_falkon, rls=det_rls, stats=stats_det)
+    return OnlineDetectorModels(falkon=det_falkon, rls=det_rls, stats=stats_det)
 
-    # ---- segmentation ----
+
+def train_segmentation_module(
+    key: jax.Array,
+    seg: Dict,
+    cfg: OnlineTrainConfig,
+    output_dir: Optional[str] = None,
+    seed: int = 0,
+) -> OnlineMaskModels:
+    """Stage 4: per-pixel FALKON classifiers for the segmentation head."""
+    rng = np.random.default_rng(seed)
+    stats_seg = _head_stats(seg, rng, cfg.pos_fraction_feat_stats)
+    t0 = time.time()
+    pos, neg = _zscore_pools(seg, stats_seg)
+    seg_falkon = train_classifiers_minibootstrap(
+        key, pos, jnp.asarray(seg["pos_valid"]),
+        neg, jnp.asarray(seg["neg_valid"]),
+        MinibootstrapParams(
+            m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
+            hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
+        ),
+    )
+    dt = time.time() - t0
+    _write_result(
+        output_dir,
+        "Online Segmentation training time: {}min:{}s \n".format(
+            int(dt / 60), round(dt % 60)
+        ),
+    )
+    return OnlineMaskModels(falkon=seg_falkon, stats=stats_seg)
+
+
+def train_online_modules(
+    key: jax.Array,
+    harvest: Dict,
+    cfg: OnlineTrainConfig,
+    output_dir: Optional[str] = None,
+    seed: int = 0,
+) -> OnlineModelSet:
+    """Stages 2-4: FALKON + RLS training for every on-line module."""
+    k_rpn, k_det, k_seg = jax.random.split(key, 3)
+
+    online_rpn = None
+    if cfg.with_rpn and "rpn" in harvest:
+        online_rpn = train_rpn_module(k_rpn, harvest["rpn"], cfg, output_dir, seed)
+
+    online_det = train_detector_module(k_det, harvest["det"], cfg, output_dir, seed)
+
     online_mask = None
     if cfg.with_segmentation and "mask" in harvest:
-        seg = harvest["mask"]
-        stats_seg = _head_stats(seg, rng, cfg.pos_fraction_feat_stats)
-        t0 = time.time()
-        pos, neg = _zscore_pools(seg, stats_seg)
-        seg_falkon = train_classifiers_minibootstrap(
-            k_seg, pos, jnp.asarray(seg["pos_valid"]),
-            neg, jnp.asarray(seg["neg_valid"]),
-            MinibootstrapParams(
-                m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
-                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
-            ),
+        online_mask = train_segmentation_module(
+            k_seg, harvest["mask"], cfg, output_dir, seed
         )
-        dt = time.time() - t0
-        _write_result(
-            output_dir,
-            "Online Segmentation training time: {}min:{}s \n".format(
-                int(dt / 60), round(dt % 60)
-            ),
-        )
-        online_mask = OnlineMaskModels(falkon=seg_falkon, stats=stats_seg)
 
     return OnlineModelSet(rpn=online_rpn, detector=online_det, mask=online_mask)
 

@@ -22,6 +22,8 @@ framework, then asserts the outputs agree:
   deterministic stub classifier — identical cache membership per iteration.
 """
 
+import os
+
 import numpy as np
 import pytest
 import torch
@@ -340,6 +342,183 @@ def test_mask_iou_matches_reference(ref_utils_mod):
     from online_detection_tpu.data.evaluation.voc_eval import mask_iou
 
     np.testing.assert_allclose(mask_iou(a, b), ref, rtol=1e-6, atol=1e-7)
+
+
+# ------------------------------------------------------- feature-cache loaders
+
+
+class _DetRng:
+    """Deterministic stand-in for np.random.Generator matching the pinned
+    torch sampling scheme (tests/ref_shims.deterministic_torch_sampling)."""
+
+    def integers(self, lo, hi=None, size=None):
+        n = hi if hi is not None else lo
+        return np.arange(size) % max(int(n), 1)
+
+    def permutation(self, n):
+        return np.arange(int(n) - 1, -1, -1)
+
+
+def test_shuffle_negatives_matches_reference(ref_utils_mod):
+    rng = np.random.default_rng(23)
+    d = 6
+    neg = [
+        [rng.normal(size=(n, d)).astype(np.float32) for n in (7, 5, 9)],
+        [rng.normal(size=(n, d)).astype(np.float32) for n in (4, 8)],
+    ]
+    with legacy_torch(), deterministic_torch_sampling():
+        ref = ref_utils_mod.shuffle_negatives(
+            [[torch.from_numpy(b) for b in cls] for cls in neg],
+            batch_size=6, num_batches=3,
+        )
+
+    from online_detection_tpu.utils.checkpoint import rebatch_negatives_shuffled
+
+    det = _DetRng()
+    for i, cls in enumerate(neg):
+        mine = rebatch_negatives_shuffled(cls, 6, 3, det.permutation)
+        assert len(mine) == len(ref[i]) == 3
+        for j in range(3):
+            np.testing.assert_array_equal(mine[j], ref[i][j].numpy())
+
+
+def _write_reference_cache(d, pos_per_class, neg_per_class, coxy=None):
+    """Write a reference-format (extensionless torch pickle) feature cache."""
+    os.makedirs(d, exist_ok=True)
+    for c, batches in enumerate(pos_per_class):
+        for b, rows in enumerate(batches):
+            torch.save(torch.from_numpy(rows), os.path.join(d, f"positives_cl_{c}_batch_{b}"))
+    for c, batches in enumerate(neg_per_class):
+        for b, rows in enumerate(batches):
+            torch.save(torch.from_numpy(rows), os.path.join(d, f"negatives_cl_{c}_batch_{b}"))
+    if coxy is not None:
+        for i, (x, cc, y) in enumerate(coxy):
+            torch.save(torch.from_numpy(x), os.path.join(d, f"reg_x_batch_{i}"))
+            torch.save(torch.from_numpy(cc), os.path.join(d, f"reg_c_batch_{i}"))
+            torch.save(torch.from_numpy(y), os.path.join(d, f"reg_y_batch_{i}"))
+
+
+def test_load_features_classifier_matches_reference(ref_utils_mod, tmp_path):
+    """Reference-written torch caches read by BOTH loaders (incl. the
+    shuffle-negatives re-batching driven by the feature-extraction YAML)."""
+    rng = np.random.default_rng(29)
+    d = 5
+    pos = [
+        [rng.normal(size=(3, d)).astype(np.float32), rng.normal(size=(2, d)).astype(np.float32)],
+        [np.zeros((0, d), np.float32)],  # class with no positives
+    ]
+    neg = [
+        [rng.normal(size=(n, d)).astype(np.float32) for n in (6, 4, 5)],
+        [rng.normal(size=(n, d)).astype(np.float32) for n in (3, 7)],
+    ]
+    cache = tmp_path / "features_detector"
+    _write_reference_cache(str(cache), pos, neg)
+
+    feat_cfg = tmp_path / "feat_extraction.yaml"
+    feat_cfg.write_text(
+        yaml.safe_dump(
+            {"MINIBOOTSTRAP": {"DETECTOR": {
+                "SHUFFLE_NEGATIVES": True, "ITERATIONS": 3, "BATCH_SIZE": 4,
+            }}}
+        )
+    )
+    with legacy_torch(), deterministic_torch_sampling():
+        ref_pos, ref_neg = ref_utils_mod.load_features_classifier(
+            features_dir=str(cache), cfg_feature_extraction=str(feat_cfg)
+        )
+
+    from online_detection_tpu.utils.checkpoint import load_features
+
+    out = load_features(
+        str(tmp_path), det_shuffle_negatives=True, iterations=3, batch_size=4,
+        rng=_DetRng(),
+    )
+    det = out["det"]
+    for c in range(2):
+        mine_pos = det["pos"][c][det["pos_valid"][c]]
+        np.testing.assert_allclose(mine_pos, ref_pos[c].numpy(), rtol=1e-6)
+        for j in range(3):
+            mine_b = det["neg"][c, j][det["neg_valid"][c, j]]
+            np.testing.assert_allclose(mine_b, ref_neg[c][j].numpy(), rtol=1e-6)
+
+
+def test_load_features_segmentation_ratio_matches_reference(ref_utils_mod, tmp_path):
+    rng = np.random.default_rng(31)
+    d = 4
+    pos = [[rng.normal(size=(10, d)).astype(np.float32)]]
+    neg = [[rng.normal(size=(8, d)).astype(np.float32),
+            rng.normal(size=(6, d)).astype(np.float32)]]
+    cache = tmp_path / "features_segmentation"
+    _write_reference_cache(str(cache), pos, neg)
+
+    with legacy_torch(), deterministic_torch_sampling():
+        ref_pos, ref_neg = ref_utils_mod.load_features_classifier(
+            features_dir=str(cache), is_segm=True, sample_ratio=0.5
+        )
+
+    from online_detection_tpu.utils.checkpoint import load_features
+
+    out = load_features(str(tmp_path), sampling_ratio_segmentation=0.5, rng=_DetRng())
+    seg = out["mask"]
+    mine_pos = seg["pos"][0][seg["pos_valid"][0]]
+    np.testing.assert_allclose(mine_pos, ref_pos[0].numpy(), rtol=1e-6)
+    assert len(mine_pos) == 5  # 10 * 0.5
+    mine_neg = seg["neg"][0, 0][seg["neg_valid"][0, 0]]
+    np.testing.assert_allclose(mine_neg, ref_neg[0].numpy(), rtol=1e-6)
+    assert len(mine_neg) == 7  # (8 + 6) * 0.5
+
+
+def test_load_features_regressor_matches_reference(ref_utils_mod, tmp_path):
+    rng = np.random.default_rng(37)
+    d = 5
+    coxy_batches = [
+        (rng.normal(size=(6, d)).astype(np.float32),
+         rng.integers(1, 3, size=6).astype(np.int64),
+         rng.normal(size=(6, 4)).astype(np.float32)),
+        (rng.normal(size=(4, d)).astype(np.float32),
+         rng.integers(1, 3, size=4).astype(np.int64),
+         rng.normal(size=(4, 4)).astype(np.float32)),
+    ]
+    cache = tmp_path / "features_detector"
+    _write_reference_cache(
+        str(cache), [[rng.normal(size=(2, d)).astype(np.float32)]],
+        [[rng.normal(size=(3, d)).astype(np.float32)]], coxy=coxy_batches,
+    )
+    with legacy_torch():
+        ref_coxy = ref_utils_mod.load_features_regressor(features_dir=str(cache))
+
+    from online_detection_tpu.utils.checkpoint import load_features
+
+    coxy = load_features(str(tmp_path))["det"]["coxy"]
+    np.testing.assert_allclose(coxy["X"], ref_coxy["X"].numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(coxy["C"], ref_coxy["C"].numpy())
+    np.testing.assert_allclose(coxy["Y"], ref_coxy["Y"].numpy(), rtol=1e-6)
+
+
+def test_load_positives_from_coxy_matches_reference(ref_utils_mod):
+    rng = np.random.default_rng(41)
+    n, d = 60, 5
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    c = rng.integers(1, 4, size=n).astype(np.int64)
+    y = rng.normal(size=(n, 4)).astype(np.float32)
+
+    with legacy_torch(), deterministic_torch_sampling():
+        ref_pos = ref_utils_mod.load_positives_from_COXY(
+            {"C": torch.from_numpy(c), "O": None, "X": torch.from_numpy(x),
+             "Y": torch.from_numpy(y)},
+            samples_fraction=0.5,
+        )
+
+    from online_detection_tpu.pipelines.online_pipeline import _positives_from_coxy
+
+    pos, valid = _positives_from_coxy(
+        {"X": x, "C": c}, 3, samples_fraction=0.5, rng=_DetRng()
+    )
+    for i in range(3):
+        np.testing.assert_allclose(
+            pos[i][valid[i]], ref_pos[i].numpy(), rtol=1e-6,
+            err_msg=f"class {i}",
+        )
 
 
 # ----------------------------------------------- minibootstrap cache dynamics
