@@ -151,25 +151,38 @@ def _solve_from_stats(g, b, sum_y, yty, n, lam) -> RLSModel:
 def _gram_stats_grouped(x: jax.Array, y: jax.Array, cls1: jax.Array, w: jax.Array,
                         num_classes: int):
     """Per-class Gram stats from a SHARED row buffer: x [N, d], y [N, 4],
-    cls1 [N] 1-based labels, w [N] validity. One one-hot-weighted einsum per
-    statistic — keeps the class grouping on device (no [C, N, d] blow-up)."""
+    cls1 [N] 1-based labels, w [N] validity.
+
+    Computed as a ``lax.map`` over classes of plain 2-operand masked matmuls.
+    The obvious one-shot formulation — a 3-operand einsum
+    ``einsum('nc,nd,ne->cde', onehot, x, x)`` — sends the TPU compiler into a
+    pathological pass: 289 s to compile even at [N=400, d=32, C=3] (measured
+    on v5e; the round-1 bench's 143 s ``rls_fit_rpn`` setup was this). The
+    scan body compiles ONCE regardless of C, runs the same FLOPs, and the
+    per-class [N, d] masked copy stays a transient instead of a [C, N, d]
+    blow-up."""
     onehot = jax.nn.one_hot(cls1.astype(jnp.int32) - 1, num_classes, dtype=jnp.float32)
     wc = onehot * w[:, None]  # [N, C]
-    n = jnp.sum(wc, axis=0)  # [C]
-    g_xx = jnp.einsum("nc,nd,ne->cde", wc, x, x, preferred_element_type=jnp.float32)
-    sum_x = jnp.einsum("nc,nd->cd", wc, x, preferred_element_type=jnp.float32)
     d = x.shape[1]
-    c = num_classes
-    g = jnp.zeros((c, d + 1, d + 1), jnp.float32)
-    g = g.at[:, :d, :d].set(g_xx)
-    g = g.at[:, :d, d].set(sum_x)
-    g = g.at[:, d, :d].set(sum_x)
-    g = g.at[:, d, d].set(n)
-    b_xy = jnp.einsum("nc,nd,nk->cdk", wc, x, y, preferred_element_type=jnp.float32)
-    sum_y = jnp.einsum("nc,nk->ck", wc, y, preferred_element_type=jnp.float32)
-    b = jnp.concatenate([b_xy, sum_y[:, None, :]], axis=1)
-    yty = jnp.einsum("nc,nk,nl->ckl", wc, y, y, preferred_element_type=jnp.float32)
-    return g, b, sum_y, yty, n
+
+    def per_class(w_c):  # [N] -> this class's moments
+        xm = x * w_c[:, None]
+        ym = y * w_c[:, None]
+        g_xx = jnp.matmul(xm.T, x, preferred_element_type=jnp.float32)
+        sum_x = jnp.sum(xm, axis=0)
+        b_xy = jnp.matmul(xm.T, y, preferred_element_type=jnp.float32)
+        sum_y = jnp.sum(ym, axis=0)
+        yty = jnp.matmul(ym.T, y, preferred_element_type=jnp.float32)
+        n = jnp.sum(w_c)
+        g = jnp.zeros((d + 1, d + 1), jnp.float32)
+        g = g.at[:d, :d].set(g_xx)
+        g = g.at[:d, d].set(sum_x)
+        g = g.at[d, :d].set(sum_x)
+        g = g.at[d, d].set(n)
+        b = jnp.concatenate([b_xy, sum_y[None, :]], axis=0)  # [d+1, 4]
+        return g, b, sum_y, yty, n
+
+    return jax.lax.map(per_class, wc.T)
 
 
 def rls_fit_grouped(
@@ -236,13 +249,26 @@ def rls_fit_grouped(
     l_chol = jnp.linalg.cholesky(a)
     u = jax.scipy.linalg.solve_triangular(l_chol, bw, lower=True)
     beta = jax.scipy.linalg.solve_triangular(l_chol, u, lower=True, trans="T")
+    # per-class mean losses from the same moments (the reference prints these,
+    # ``train_region_refiner.py:80-84``): for whitened targets Yw,
+    # mean 0.5(Xw - yw)^2 = 0.5/n (b^T G b - 2 b^T bw + diag(T^T S T))
+    n_dev = jnp.asarray(n_h, jnp.float32)
+    q1 = jnp.einsum("cdk,cde,cek->ck", beta, g, beta)
+    q2 = jnp.einsum("cdk,cdk->ck", beta, bw)
+    s_c = yty - n_dev[:, None, None] * (mu_dev[:, :, None] * mu_dev[:, None, :])
+    st = jnp.einsum("ckl,clm->ckm", s_c, t_dev)
+    ywty_diag = jnp.einsum("ckm,ckm->cm", t_dev, st)
+    mean_losses = 0.5 * (q1 - 2.0 * q2 + ywty_diag) / jnp.maximum(n_dev, 1.0)[:, None]
+    mean_losses = jnp.where(
+        jnp.asarray(exists)[:, None], mean_losses, 0.0
+    )
     return RLSModel(
         beta=beta,
         t_inv=jnp.asarray(t_inv_all, jnp.float32),
         t=t_dev,
         mu=mu_dev,
         exists=jnp.asarray(exists),
-        mean_losses=jnp.zeros((c, 4), jnp.float32),
+        mean_losses=mean_losses,
     )
 
 

@@ -28,6 +28,25 @@ jax.config.update("jax_compilation_cache_dir", None)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Two-tier suite: ``pytest -m fast`` is the driver/CI-budget tier (~75 s on
+# one core: solvers, ops, boxes, eval, configs, reference parity); everything
+# else (CLI smoke, pipelines, mesh, trainers) is marked slow automatically.
+_FAST_MODULES = {
+    "test_anchors", "test_boxes", "test_compile_cache", "test_configs",
+    "test_data_eval", "test_falkon", "test_gaussian_mmv", "test_minibootstrap",
+    "test_native_io", "test_nms", "test_reference_parity", "test_rls",
+    "test_rls_device_solve", "test_roi_align", "test_weights", "test_ycb_video",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        mod = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        mod = mod[:-3] if mod.endswith(".py") else mod
+        item.add_marker(
+            pytest.mark.fast if mod in _FAST_MODULES else pytest.mark.slow
+        )
+
 
 @pytest.fixture
 def rng():

@@ -24,3 +24,10 @@ def test_device_solve_matches_host(rng):
         rtol=5e-3, atol=5e-3,
     )
     assert dev.exists.tolist() == host.exists.tolist()
+    # device-solve mean losses are REAL now (the reference prints them,
+    # train_region_refiner.py:80-84), matching the host-f64 path
+    np.testing.assert_allclose(
+        np.asarray(dev.mean_losses), np.asarray(host.mean_losses),
+        rtol=5e-2, atol=1e-4,
+    )
+    assert float(np.asarray(dev.mean_losses).max()) > 0
