@@ -391,7 +391,7 @@ def harvest_trunk(
     all_boxes = jnp.concatenate([gt_boxes, prop_boxes], axis=0)
     pooled = roi_align(
         c4[0], all_boxes, dcfg.pooler_resolution, dcfg.pooler_resolution,
-        dcfg.pooler_scale,
+        dcfg.pooler_scale, roi_chunk=dcfg.roi_chunk,
     )
     res5 = resnet.res5_feature_map(params["backbone"], pooled)  # [R,7,7,2048]
     feats = jnp.mean(res5, axis=(1, 2))  # [R, 2048]

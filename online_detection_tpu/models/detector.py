@@ -65,6 +65,10 @@ class DetectorConfig(NamedTuple):
     detections_per_img: int = 100
     pooler_resolution: int = 14
     pooler_scale: float = 1.0 / 16.0
+    # RoIAlign lax.map chunk (ops/roi_align.py): None = flat vmap (fastest at
+    # image batch <= 8); set ~100 for batch >= 16 to bound the separable
+    # intermediate (13 GB at batch 32 otherwise -> HBM OOM)
+    roi_chunk: Optional[int] = None
     # --normalize_features_regressor_detector (see heads.box_predict)
     normalize_regressor_features: bool = False
 
@@ -97,7 +101,8 @@ def rpn_scores_deltas(params, online_rpn, t):
 def extract_box_features(params, c4_img, boxes, cfg: DetectorConfig):
     """RoIAlign + res5 + avgpool -> the 2048-d detector features."""
     pooled = roi_align(
-        c4_img, boxes, cfg.pooler_resolution, cfg.pooler_resolution, cfg.pooler_scale
+        c4_img, boxes, cfg.pooler_resolution, cfg.pooler_resolution,
+        cfg.pooler_scale, roi_chunk=cfg.roi_chunk,
     )
     return resnet.res5_head(params["backbone"], pooled)
 
@@ -167,7 +172,7 @@ def detect(
     if with_masks and online.mask is not None:
         pooled = roi_align(
             c4[0], dets.boxes, cfg.pooler_resolution, cfg.pooler_resolution,
-            cfg.pooler_scale,
+            cfg.pooler_scale, roi_chunk=cfg.roi_chunk,
         )
         res5 = resnet.res5_feature_map(params["backbone"], pooled)  # [D,7,7,2048]
         deconv = mask_deconv(params["mask_head"], res5)  # [D,14,14,256]
@@ -249,7 +254,7 @@ def detect_pretrained(
 
         pooled = roi_align(
             c4[0], dets.boxes, cfg.pooler_resolution, cfg.pooler_resolution,
-            cfg.pooler_scale,
+            cfg.pooler_scale, roi_chunk=cfg.roi_chunk,
         )
         res5 = resnet.res5_feature_map(params["backbone"], pooled)
         deconv = mask_deconv(params["mask_head"], res5)

@@ -67,7 +67,8 @@ def _interp_matrix(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("pooled_h", "pooled_w", "spatial_scale", "max_samples"),
+    static_argnames=("pooled_h", "pooled_w", "spatial_scale", "max_samples",
+                     "roi_chunk"),
 )
 def roi_align(
     features: jax.Array,  # [H, W, C] channel-last
@@ -76,12 +77,21 @@ def roi_align(
     pooled_w: int = 14,
     spatial_scale: float = 1.0 / 16.0,
     max_samples: int = 8,
+    roi_chunk=None,
 ) -> jax.Array:
     """RoIAlign: -> [R, pooled_h, pooled_w, C].
 
     ``max_samples`` is the static bound for the adaptive sampling grid; 8
     covers RoIs up to ``8 * pooled`` feature cells (= 1792 input px at
     stride 16 with pooled 14), beyond the reference's max image side 1333.
+
+    ``roi_chunk``: when set, the RoI axis is processed in lax.map chunks of
+    this size. The flat vmap (None, default — fastest at small image batch)
+    materializes the [R, P, W, C] separable intermediate: 400 MB per image at
+    300 RoIs x 600px canvas, 13 GB at canvas batch 32, which OOMs the v5e.
+    Chunking bounds it at [B, chunk, P, W, C] while each chunk stays one
+    large MXU matmul; large-batch callers set it via DetectorConfig.roi_chunk
+    (costs ~10% at batch 8, enables batch >= 16).
     """
     h, w = features.shape[0], features.shape[1]
 
@@ -97,7 +107,15 @@ def roi_align(
         t = jnp.einsum("ph,hwc->pwc", a, features, preferred_element_type=jnp.float32)
         return jnp.einsum("qw,pwc->pqc", b, t, preferred_element_type=jnp.float32)
 
-    return jax.vmap(one_roi)(rois.astype(jnp.float32))
+    rois = rois.astype(jnp.float32)
+    r = rois.shape[0]
+    if roi_chunk is None or r <= roi_chunk:
+        return jax.vmap(one_roi)(rois)
+    n_chunks = -(-r // roi_chunk)
+    pad = n_chunks * roi_chunk - r
+    rois_p = jnp.pad(rois, ((0, pad), (0, 0))).reshape(n_chunks, roi_chunk, 4)
+    out = jax.lax.map(jax.vmap(one_roi), rois_p)
+    return out.reshape(n_chunks * roi_chunk, pooled_h, pooled_w, -1)[:r]
 
 
 def roi_align_nchw(

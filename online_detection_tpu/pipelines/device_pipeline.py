@@ -254,6 +254,10 @@ def harvest_dataset_device(
     if mesh is not None:
         n_dev = mesh.devices.size
         b = int(np.ceil(b / n_dev)) * n_dev  # batch must tile the mesh
+    if b >= 16 and dcfg.roi_chunk is None:
+        # bound the RoIAlign separable intermediate at large canvas batches
+        # (flat vmap OOMs ~16 GB HBM at batch 32; see ops/roi_align.py)
+        dcfg = dcfg._replace(roi_chunk=100)
     jit_trunk = _jit_batched_trunk(dcfg, cfg.with_segmentation, mesh, "mb")
     jit_chunks_acc = _jit_batched_chunks_accumulate(
         hcfg, cfg.with_rpn, cfg.num_classes

@@ -549,6 +549,10 @@ def run_inference(
     if mesh is not None:
         n_dev = mesh.devices.size
         b = int(np.ceil(b / n_dev)) * n_dev
+    if b >= 16 and dcfg.roi_chunk is None:
+        # bound the RoIAlign separable intermediate at large canvas batches
+        # (flat vmap OOMs ~16 GB HBM at batch 32; see ops/roi_align.py)
+        dcfg = dcfg._replace(roi_chunk=100)
     jit_detect = _jit_detect_batched(
         dcfg, with_masks, eval_segm_with_gt_bboxes, mesh
     )

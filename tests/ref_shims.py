@@ -86,6 +86,73 @@ def install_maskrcnn_stub():
     sys.modules["maskrcnn_benchmark.structures.bounding_box"] = bounding_box
 
 
+def install_maskrcnn_eval_stubs():
+    """Stubs for importing the reference's LITERAL evaluator
+    (``icw_eval.py`` / ``ycbv_eval.py``) and Masker:
+
+    - ``boxlist_ops.boxlist_iou``: the maskrcnn-benchmark formula transcribed
+      (+1 pixel convention) — 10 lines whose semantics are separately
+      differential-tested through ``utils/boxes.box_iou``;
+    - ``layers.misc.interpolate`` -> torch.nn.functional.interpolate (the
+      real one is a thin empty-batch-handling wrapper);
+    - the ``mrcnn_modified...mask_head.inference`` module (Masker) is the
+      REAL reference file, loaded with those stubs.
+    """
+    install_maskrcnn_stub()
+    pkg = sys.modules["maskrcnn_benchmark"]
+    BoxList = sys.modules["maskrcnn_benchmark.structures.bounding_box"].BoxList
+
+    # extend the BoxList stub with what the evaluator/Masker use
+    if not hasattr(BoxList, "convert"):
+        BoxList.convert = lambda self, mode: self
+        BoxList.has_field = lambda self, k: k in self.extra_fields
+        BoxList.__len__ = lambda self: len(self.bbox)
+
+    if "maskrcnn_benchmark.structures.boxlist_ops" not in sys.modules:
+        bl_ops = types.ModuleType("maskrcnn_benchmark.structures.boxlist_ops")
+
+        def boxlist_iou(a, b):
+            A = torch.as_tensor(a.bbox, dtype=torch.float32)
+            B = torch.as_tensor(b.bbox, dtype=torch.float32)
+            area_a = (A[:, 2] - A[:, 0] + 1) * (A[:, 3] - A[:, 1] + 1)
+            area_b = (B[:, 2] - B[:, 0] + 1) * (B[:, 3] - B[:, 1] + 1)
+            lt = torch.max(A[:, None, :2], B[None, :, :2])
+            rb = torch.min(A[:, None, 2:], B[None, :, 2:])
+            wh = (rb - lt + 1).clamp(min=0)
+            inter = wh[..., 0] * wh[..., 1]
+            return inter / (area_a[:, None] + area_b[None, :] - inter)
+
+        bl_ops.boxlist_iou = boxlist_iou
+        sys.modules["maskrcnn_benchmark.structures.boxlist_ops"] = bl_ops
+        pkg.structures.boxlist_ops = bl_ops
+
+    if "maskrcnn_benchmark.layers.misc" not in sys.modules:
+        layers = types.ModuleType("maskrcnn_benchmark.layers")
+        misc = types.ModuleType("maskrcnn_benchmark.layers.misc")
+        misc.interpolate = torch.nn.functional.interpolate
+        layers.misc = misc
+        pkg.layers = layers
+        sys.modules["maskrcnn_benchmark.layers"] = layers
+        sys.modules["maskrcnn_benchmark.layers.misc"] = misc
+
+    # the REAL reference Masker, importable as the evaluator expects
+    leaf = "mrcnn_modified.modeling.roi_heads.mask_head.inference"
+    if leaf not in sys.modules:
+        parts = leaf.split(".")
+        for i in range(1, len(parts)):
+            name = ".".join(parts[:i])
+            if name not in sys.modules:
+                m = types.ModuleType(name)
+                m.__path__ = []
+                sys.modules[name] = m
+        load_reference_module(
+            "src/modules/feature-extractor/mrcnn_modified/modeling/roi_heads/"
+            "mask_head/inference.py",
+            leaf,
+        )
+    return sys.modules[leaf]
+
+
 def _legacy_eig(a, eigenvectors=False):
     vals, vecs = torch.linalg.eig(a)
     d = torch.stack([vals.real, vals.imag], dim=1)

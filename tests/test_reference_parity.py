@@ -521,6 +521,93 @@ def test_load_positives_from_coxy_matches_reference(ref_utils_mod):
         )
 
 
+class _GaussianStubClassifier:
+    """Torch Gaussian-kernel scorer == what the falkon library computes for a
+    fitted model (solver parity is tested separately in test_falkon.py); lets
+    the reference ``testRegionClassifier`` wrapper logic run unmodified."""
+
+    def __init__(self, sigma):
+        self.sigma = sigma
+
+    def train(self, X, y, sigma=None, lam=None):
+        raise AssertionError("test path only")
+
+    def predict(self, model, X):
+        centers, alpha = model
+        d2 = torch.cdist(X.float(), centers) ** 2
+        return torch.exp(-d2 / (2 * self.sigma**2)) @ alpha
+
+
+def test_test_region_classifier_matches_reference(ref_classifier_mod, tmp_path):
+    """The cached-test_boxes scoring path (``OnlineRegionClassifier.py:
+    182-219``): gt-row filtering, conditional z-scoring, per-class scoring
+    into the [N, C+1] matrix with background -1."""
+    rng = np.random.default_rng(43)
+    c, d, m, sigma = 2, 6, 5, 4.0
+
+    centers = [rng.normal(size=(m, d)).astype(np.float32) for _ in range(c)]
+    alpha = [rng.normal(size=(m,)).astype(np.float32) for _ in range(c)]
+    mean = rng.normal(size=(d,)).astype(np.float32)
+    mean_norm = np.float32(9.0)
+
+    test_boxes = []
+    for _ in range(3):
+        n = int(rng.integers(4, 9))
+        gt = (rng.random(n) < 0.3).astype(np.int64)
+        test_boxes.append({
+            "boxes": rng.uniform(0, 100, size=(n, 4)).astype(np.float32),
+            "feat": rng.normal(size=(n, d)).astype(np.float32),
+            "gt": gt,
+            "img_size": (320, 240),
+        })
+
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "CHOSEN_CLASSES": ["__background__", "a", "b"],
+        "ONLINE_REGION_CLASSIFIER": {
+            "CLASSIFIER": {"lambda": 1e-5, "sigma": sigma, "M": m},
+            "MINIBOOTSTRAP": {"HARD_THRESH": -0.7, "EASY_THRESH": -0.9},
+        },
+    }))
+    stub = _GaussianStubClassifier(sigma)
+    stats = {
+        "mean": torch.from_numpy(mean),
+        "std": torch.ones(d),
+        "mean_norm": torch.tensor(mean_norm),
+    }
+    dummy = [torch.zeros((1, d))] * c
+    ocr = ref_classifier_mod.OnlineRegionClassifier(
+        stub, dummy, [[torch.zeros((1, d))]] * c, stats, cfg_path=str(cfg_path)
+    )
+    ref_models = [
+        (torch.from_numpy(centers[i]), torch.from_numpy(alpha[i]))
+        for i in range(c)
+    ]
+    with legacy_torch():
+        ref_preds = ocr.testRegionClassifier(ref_models, test_boxes)
+
+    from online_detection_tpu.modules import facades
+    from online_detection_tpu.solvers.falkon import FalkonModel
+
+    wrapper = facades.FALKONWrapper()
+    mine = facades.OnlineRegionClassifier(
+        wrapper, [np.zeros((1, d))] * c, [[np.zeros((1, d))]] * c,
+        {"mean": mean, "std": np.ones(d), "mean_norm": mean_norm},
+    )
+    model = FalkonModel(
+        jnp.asarray(np.stack(centers)), jnp.asarray(np.stack(alpha)),
+        jnp.ones((c,), bool), sigma,
+    )
+    my_preds = mine.testRegionClassifier(model, test_boxes)
+
+    assert len(my_preds) == len(ref_preds) == 3
+    for mp, rp in zip(my_preds, ref_preds):
+        np.testing.assert_allclose(mp["boxes"], rp.bbox.numpy(), rtol=1e-6)
+        np.testing.assert_allclose(
+            mp["scores"], rp.get_field("scores").numpy(), rtol=2e-4, atol=2e-5
+        )
+
+
 # ----------------------------------------------- minibootstrap cache dynamics
 
 
