@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Per-stage wall-clock ablation of the batched inference program.
+
+Times truncated versions of ``models/detector.detect`` (vmapped at canvas
+batch 8, 608x800) on the real TPU; the delta between consecutive variants is
+the wall cost of the stage added.  Used to direct MXU-utilization work: the
+bench reports 22-28% MFU for the full program and this tool says which stage
+eats the non-MXU time (reference has no analog — its per-stage picture is
+the per-image Python loop timings in ``engine/inference.py:281-309``).
+
+Output: one JSON line per variant ``{"stage": ..., "ms_per_img": ...,
+"delta_ms": ...}`` plus a compile-seconds field.
+
+Usage: python experiments/perf_ablation.py [--batch 8] [--reps 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--stages", type=str, default="",
+                    help="comma-separated subset of stage names to run")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from online_detection_tpu.utils.compile_cache import (
+        default_cache_dir, guard_fingerprint,
+    )
+
+    cache = default_cache_dir()
+    guard_fingerprint(cache)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from online_detection_tpu.data.transforms import normalize_canvas
+    from online_detection_tpu.models import resnet
+    from online_detection_tpu.models.anchors import grid_anchors
+    from online_detection_tpu.models.detector import (
+        DetectorConfig, OnlineModelSet, init_detector_params,
+    )
+    from online_detection_tpu.models.heads import (
+        OnlineDetectorModels, OnlineMaskModels, box_predict, mask_deconv,
+        mask_predict,
+    )
+    from online_detection_tpu.models.postprocess import (
+        postprocess_detections, select_mask_channel,
+    )
+    from online_detection_tpu.models.rpn import (
+        OnlineRPNModels, propose, rpn_features, rpn_online,
+    )
+    from online_detection_tpu.ops.roi_align import roi_align
+    from online_detection_tpu.solvers.falkon import FalkonModel
+    from online_detection_tpu.solvers.rls import RLSModel
+    from online_detection_tpu.utils.stats import FeatureStats
+
+    bsz, hh, ww = args.batch, 608, 800
+    cfg = DetectorConfig()
+    rng = np.random.default_rng(0)
+    params = init_detector_params(jax.random.key(0), 15, 22)
+    anchors = jnp.asarray(grid_anchors(hh // 16, ww // 16))
+    canv = jnp.asarray(rng.integers(0, 255, (bsz, hh, ww, 3), dtype=np.uint8))
+    sizes = jnp.broadcast_to(jnp.asarray([ww, hh]), (bsz, 2))
+
+    def dev_normal(seed, shape, scale=1.0):
+        return jax.jit(
+            lambda k: jax.random.normal(k, shape, jnp.float32) * scale
+        )(jax.random.key(seed))
+
+    def falkon(seed, c, mm, d, sigma):
+        return FalkonModel(dev_normal(seed, (c, mm, d)),
+                           dev_normal(seed + 1, (c, mm), 0.01),
+                           jnp.ones((c,), bool), sigma)
+
+    def rls(seed, c, d):
+        eye = jnp.broadcast_to(jnp.eye(4), (c, 4, 4))
+        return RLSModel(dev_normal(seed, (c, d + 1, 4), 1e-4), eye, eye,
+                        jnp.zeros((c, 4)), jnp.ones((c,), bool),
+                        jnp.zeros((c, 4)))
+
+    def stats(d):
+        return FeatureStats(jnp.zeros((d,)), jnp.ones((d,)), jnp.asarray(20.0))
+
+    online = OnlineModelSet(
+        rpn=OnlineRPNModels(falkon(400, 15, 1000, 1024, 50.0),
+                            rls(402, 15, 1024), stats(1024)),
+        detector=OnlineDetectorModels(falkon(404, 21, 1000, 2048, 15.0),
+                                      rls(406, 21, 2048), stats(2048)),
+        mask=OnlineMaskModels(falkon(408, 21, 500, 256, 10.0), stats(256)),
+    )
+
+    # --- truncated single-image programs, each strictly extending the last ---
+    def upto(stage):
+        def one(p, o, a, im, sz):
+            from online_detection_tpu.models.detector import resolve_compute_dtype
+            im = normalize_canvas(im).astype(resolve_compute_dtype(cfg))
+            c4 = resnet.backbone_c4(p["backbone"], im[None])
+            if stage == "backbone":
+                return c4
+            t = rpn_features(p["rpn"], c4)[0]
+            sc, dl = rpn_online(o.rpn, t)
+            sc, dl = sc.reshape(-1), dl.reshape(-1, 4)
+            if stage == "rpn_head":
+                return sc, dl
+            pb, ps, pv = propose(
+                sc, dl, a, sz, pre_nms_top_n=cfg.pre_nms_top_n,
+                post_nms_top_n=cfg.post_nms_top_n,
+                nms_thresh=cfg.rpn_nms_thresh, min_size=cfg.rpn_min_size,
+            )
+            if stage == "propose":
+                return pb, ps
+            pooled = roi_align(c4[0], pb, cfg.pooler_resolution,
+                               cfg.pooler_resolution, cfg.pooler_scale,
+                               roi_chunk=cfg.roi_chunk)
+            if stage == "roi_align":
+                return pooled
+            feats = resnet.res5_head(p["backbone"], pooled)
+            if stage == "res5":
+                return feats
+            cls_scores, box_deltas = box_predict(o.detector, feats, False)
+            if stage == "box_predict":
+                return cls_scores, box_deltas
+            dets = postprocess_detections(
+                pb, pv, cls_scores, box_deltas, sz,
+                score_thresh=cfg.score_thresh, nms_thresh=cfg.nms_thresh,
+                detections_per_img=cfg.detections_per_img,
+            )
+            if stage == "postprocess":
+                return dets
+            pooled2 = roi_align(c4[0], dets.boxes, cfg.pooler_resolution,
+                                cfg.pooler_resolution, cfg.pooler_scale,
+                                roi_chunk=cfg.roi_chunk)
+            res5m = resnet.res5_feature_map(p["backbone"], pooled2)
+            if stage == "mask_res5":
+                return res5m
+            dcv = mask_deconv(p["mask_head"], res5m)
+            px = mask_predict(o.mask, dcv)
+            return dets, select_mask_channel(px, dets.labels)
+
+        batched = jax.vmap(one, in_axes=(None, None, None, 0, 0))
+
+        def reduced(p, o, a, im, sz):
+            # fetch a scalar, not the stage output: the axon host link runs
+            # at ~0.1-12 MB/s, so device_get of a 62 MB backbone output would
+            # dominate the timing (it did, before this reduction)
+            out = batched(p, o, a, im, sz)
+            leaves = [x.astype(jnp.float32).sum()
+                      for x in jax.tree_util.tree_leaves(out)]
+            return sum(leaves)
+
+        return jax.jit(reduced)
+
+    stages = ["backbone", "rpn_head", "propose", "roi_align", "res5",
+              "box_predict", "postprocess", "mask_res5", "full"]
+    if args.stages:
+        keep = set(args.stages.split(","))
+        stages = [s for s in stages if s in keep]
+
+    prev_ms = 0.0
+    for stage in stages:
+        fn = upto(stage)
+        t0 = time.perf_counter()
+        jax.device_get(fn(params, online, anchors, canv, sizes))
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.reps):
+            out = fn(params, online, anchors, canv, sizes)
+        jax.device_get(out)
+        ms = (time.perf_counter() - t0) / args.reps / bsz * 1e3
+        print(json.dumps({
+            "stage": stage, "ms_per_img": round(ms, 2),
+            "delta_ms": round(ms - prev_ms, 2),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+        prev_ms = ms
+
+
+if __name__ == "__main__":
+    main()

@@ -373,8 +373,12 @@ def harvest_trunk(
     (hours), while the two halves compile in seconds each.
     """
     from online_detection_tpu.data.transforms import normalize_canvas
+    from online_detection_tpu.models.detector import resolve_compute_dtype
 
-    image = normalize_canvas(image)
+    # bf16 conv trunk on TPU (see DetectorConfig.compute_dtype); the chunk-
+    # facing outputs below are cast back to f32 so reservoirs and solver math
+    # are bit-for-bit the f32 pipeline (on bf16-rounded activations).
+    image = normalize_canvas(image).astype(resolve_compute_dtype(dcfg))
     c4 = resnet.backbone_c4(params["backbone"], image[None])
     t = rpn_features(params["rpn"], c4)[0]
 
@@ -394,13 +398,13 @@ def harvest_trunk(
         dcfg.pooler_scale, roi_chunk=dcfg.roi_chunk,
     )
     res5 = resnet.res5_feature_map(params["backbone"], pooled)  # [R,7,7,2048]
-    feats = jnp.mean(res5, axis=(1, 2))  # [R, 2048]
+    feats = jnp.mean(res5.astype(jnp.float32), axis=(1, 2))  # [R, 2048]
 
     deconv = None
     if with_mask_features:
         g_cap = gt_boxes.shape[0]
         deconv = mask_deconv(params["mask_head"], res5[:g_cap])
-    return t, prop_boxes, prop_valid, feats, deconv
+    return t.astype(jnp.float32), prop_boxes, prop_valid, feats, deconv
 
 
 def harvest_chunks(

@@ -71,6 +71,21 @@ class DetectorConfig(NamedTuple):
     roi_chunk: Optional[int] = None
     # --normalize_features_regressor_detector (see heads.box_predict)
     normalize_regressor_features: bool = False
+    # conv-trunk activation dtype: "float32", "bfloat16", or None = auto
+    # (bfloat16 on the TPU backend, float32 elsewhere). The trunk is
+    # HBM-bandwidth-bound on v5e (backbone measured at 22 TFLOP/s in f32);
+    # bf16 activations halve the traffic while the MXU still accumulates in
+    # f32. Head/score/coordinate math stays f32 (z-scoring, RLS, decode,
+    # NMS promote at the boundaries). The CPU auto-resolution keeps unit
+    # tests and torch-golden parity exact.
+    compute_dtype: Optional[str] = None
+
+
+def resolve_compute_dtype(cfg: DetectorConfig) -> str:
+    """None = auto: bfloat16 trunk on TPU, float32 elsewhere (exact tests)."""
+    if cfg.compute_dtype is not None:
+        return cfg.compute_dtype
+    return "bfloat16" if jax.default_backend() == "tpu" else "float32"
 
 
 class OnlineModelSet(NamedTuple):
@@ -131,7 +146,7 @@ def detect(
     """
     from online_detection_tpu.data.transforms import normalize_canvas
 
-    image = normalize_canvas(image)
+    image = normalize_canvas(image).astype(resolve_compute_dtype(cfg))
     c4 = resnet.backbone_c4(params["backbone"], image[None])  # [1,h,w,1024]
     t = rpn_features(params["rpn"], c4)[0]  # [h,w,1024]
     scores, deltas = rpn_scores_deltas(params["rpn"], online.rpn, t)
@@ -199,7 +214,7 @@ def detect_pretrained(
     per-class NMS."""
     from online_detection_tpu.data.transforms import normalize_canvas
 
-    image = normalize_canvas(image)
+    image = normalize_canvas(image).astype(resolve_compute_dtype(cfg))
     c4 = resnet.backbone_c4(params["backbone"], image[None])
     t = rpn_features(params["rpn"], c4)[0]
     scores, deltas = rpn_scores_deltas(params["rpn"], None, t)

@@ -44,24 +44,30 @@ STAGE_CHANNELS = ((64, 256), (128, 512), (256, 1024), (512, 2048))
 
 def conv(x: jax.Array, w: jax.Array, stride: int = 1) -> jax.Array:
     """2-D conv, NHWC x HWIO -> NHWC, SAME-style explicit padding to mirror
-    torch Conv2d(padding=k//2). f32 operands: XLA's default TPU precision
-    already runs the MXU in bfloat16 passes, and keeping one dtype keeps the
-    VJP well-typed for the SGD baselines."""
+    torch Conv2d(padding=k//2).
+
+    Dtype-following: the output (and the weight cast) takes x's dtype. At f32
+    this is today's behavior — XLA's default TPU precision already runs the
+    MXU in bf16 passes, and one dtype keeps the VJP well-typed for the SGD
+    baselines. Feeding a bfloat16 x (``DetectorConfig.compute_dtype``) halves
+    the activation HBM traffic, which is what bounds the backbone on v5e
+    (measured 2.6 ms/img at 608x800 = 22 TFLOP/s: memory-, not MXU-bound);
+    the MXU still accumulates in f32 internally."""
     k = w.shape[0]
     pad = k // 2
     out = jax.lax.conv_general_dilated(
         x,
-        w,
+        w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=x.dtype,
     )
     return out
 
 
 def frozen_bn(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
-    return x * scale + bias
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
 
 
 def conv_bn(x: jax.Array, p: Params, stride: int = 1, relu: bool = True) -> jax.Array:

@@ -47,16 +47,17 @@ class OnlineRPNModels(NamedTuple):
 
 
 def rpn_features(params, c4: jax.Array) -> jax.Array:
-    """Shared RPN conv: 3x3 + ReLU, 1024 -> 1024. c4: [N, H, W, 1024]."""
+    """Shared RPN conv: 3x3 + ReLU, 1024 -> 1024. c4: [N, H, W, 1024].
+    Dtype-following like resnet.conv (bf16 in -> bf16 activations out)."""
     out = jax.lax.conv_general_dilated(
         c4,
         params["conv_w"].astype(c4.dtype),
         window_strides=(1, 1),
         padding=((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=c4.dtype,
     )
-    return jax.nn.relu(out + params["conv_b"])
+    return jax.nn.relu(out + params["conv_b"].astype(c4.dtype))
 
 
 def rpn_pretrained(params, t: jax.Array) -> Tuple[jax.Array, jax.Array]:

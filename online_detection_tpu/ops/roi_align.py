@@ -103,9 +103,15 @@ def roi_align(
         size_h = jnp.maximum(y2 * spatial_scale - start_h, 1.0)
         a = _interp_matrix(start_h, size_h, pooled_h, h, max_samples)  # [P,H]
         b = _interp_matrix(start_w, size_w, pooled_w, w, max_samples)  # [P,W]
-        # A @ F @ B^T over channels: [P,H]x[H,W,C] -> [P,W,C] -> [P,P,C]
-        t = jnp.einsum("ph,hwc->pwc", a, features, preferred_element_type=jnp.float32)
-        return jnp.einsum("qw,pwc->pqc", b, t, preferred_element_type=jnp.float32)
+        # A @ F @ B^T over channels: [P,H]x[H,W,C] -> [P,W,C] -> [P,P,C].
+        # Dtype-following (coordinate/weight math stays f32): with bf16
+        # features the [R,P,W,C] separable intermediate — the op's HBM cost —
+        # halves.
+        dt = features.dtype
+        t = jnp.einsum("ph,hwc->pwc", a.astype(dt), features,
+                       preferred_element_type=dt)
+        return jnp.einsum("qw,pwc->pqc", b.astype(dt), t,
+                          preferred_element_type=dt)
 
     rois = rois.astype(jnp.float32)
     r = rois.shape[0]

@@ -38,15 +38,34 @@ def test_mmv_xla(rng):
 
 def test_mmv_pallas_interpret_matches_xla(rng):
     """Pallas kernel correctness via CPU interpret mode (ragged, padded
-    shapes on purpose: N, M, d, t all non-multiples of the tiles)."""
+    shapes on purpose: N, M, d, t all non-multiples of the tiles).
+    ``bf16_dot=False`` isolates the tiling/masking logic at full precision."""
     x = rng.normal(size=(300, 70)).astype(np.float32)
     c = rng.normal(size=(130, 70)).astype(np.float32)
     v = rng.normal(size=(130, 5)).astype(np.float32)
     got = np.asarray(
         mmv_pallas(
             jnp.asarray(x), jnp.asarray(c), jnp.asarray(v), 3.0,
-            tile_n=128, tile_m=128, interpret=True,
+            tile_n=128, tile_m=128, interpret=True, bf16_dot=False,
         )
     )
     want = np.asarray(mmv_xla(jnp.asarray(x), jnp.asarray(c), jnp.asarray(v), 3.0))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_mmv_pallas_bf16_dot_tolerance(rng):
+    """The default single-pass bf16 MXU dot stays within ~1e-2 of the f32
+    result at realistic scales (z-scored features, sigma in the config
+    range) — the accuracy contract for the inference scoring path."""
+    x = rng.normal(size=(300, 256)).astype(np.float32)
+    c = rng.normal(size=(130, 256)).astype(np.float32)
+    v = rng.normal(size=(130, 5)).astype(np.float32)
+    got = np.asarray(
+        mmv_pallas(
+            jnp.asarray(x), jnp.asarray(c), jnp.asarray(v), 10.0,
+            tile_n=128, tile_m=128, interpret=True,
+        )
+    )
+    want = np.asarray(mmv_xla(jnp.asarray(x), jnp.asarray(c), jnp.asarray(v), 10.0))
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-2 * scale)

@@ -169,3 +169,20 @@ def test_full_backbone_and_res5_match_torch(rng):
     want_r5 = t5.permute(0, 2, 3, 1).numpy()
     assert got_r5.shape == want_r5.shape == (3, 7, 7, 2048)
     np.testing.assert_allclose(got_r5, want_r5, rtol=2e-2, atol=2e-2)
+
+
+def test_backbone_bf16_matches_f32(rng):
+    """The bfloat16 trunk (DetectorConfig.compute_dtype auto on TPU) tracks
+    the f32 trunk within bf16 rounding — the accuracy contract for the
+    traffic-halving production path (models/resnet.py conv dtype-following)."""
+    import jax
+
+    params = init_resnet50_params(jax.random.key(3))
+    x = rng.normal(0, 50.0, size=(1, 64, 96, 3)).astype(np.float32)
+    f32 = np.asarray(backbone_c4(params, jnp.asarray(x)))
+    bf16 = np.asarray(
+        backbone_c4(params, jnp.asarray(x).astype(jnp.bfloat16))
+    ).astype(np.float32)
+    scale = np.abs(f32).max()
+    assert bf16.dtype == np.float32 and scale > 0
+    np.testing.assert_allclose(bf16, f32, atol=0.05 * scale)

@@ -103,3 +103,15 @@ def test_roi_align_14x14_shape(rng):
     rois = np.array([[10.0, 10.0, 300.0, 500.0]], np.float32)
     out = roi_align(jnp.asarray(feat), jnp.asarray(rois))
     assert out.shape == (1, 14, 14, 8)
+
+
+def test_roi_align_bf16_follows_dtype(rng):
+    """bf16 features -> bf16 pooled output tracking the f32 result (the
+    halved-intermediate production path; coordinate math stays f32)."""
+    feats = rng.normal(size=(12, 16, 8)).astype(np.float32)
+    rois = np.array([[5.0, 8.0, 120.0, 150.0], [0.0, 0.0, 40.0, 30.0]], np.float32)
+    f32 = np.asarray(roi_align(jnp.asarray(feats), jnp.asarray(rois), 7, 7, 1 / 16.0))
+    out = roi_align(jnp.asarray(feats, jnp.bfloat16), jnp.asarray(rois), 7, 7, 1 / 16.0)
+    assert out.dtype == jnp.bfloat16
+    scale = np.abs(f32).max()
+    np.testing.assert_allclose(np.asarray(out).astype(np.float32), f32, atol=0.03 * scale)
