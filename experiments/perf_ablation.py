@@ -164,14 +164,27 @@ def main():
         return jax.jit(reduced)
 
     stages = ["backbone", "rpn_head", "propose", "roi_align", "res5",
-              "box_predict", "postprocess", "mask_res5", "full"]
+              "box_predict", "postprocess", "mask_res5", "full",
+              "full_batched"]
     if args.stages:
         keep = set(args.stages.split(","))
         stages = [s for s in stages if s in keep]
 
+    def batched_program():
+        # the production program: detect_batched (rowwise head stages
+        # flattened across the image batch; models/detector.py)
+        from online_detection_tpu.models.detector import detect_batched
+
+        def reduced(p, o, a, im, sz):
+            out = detect_batched(p, o, a, im, sz, cfg, True)
+            return sum(x.astype(jnp.float32).sum()
+                       for x in jax.tree_util.tree_leaves(out))
+
+        return jax.jit(reduced)
+
     prev_ms = 0.0
     for stage in stages:
-        fn = upto(stage)
+        fn = batched_program() if stage == "full_batched" else upto(stage)
         t0 = time.perf_counter()
         jax.device_get(fn(params, online, anchors, canv, sizes))
         compile_s = time.perf_counter() - t0

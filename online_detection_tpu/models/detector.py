@@ -197,6 +197,110 @@ def detect(
     return dets, mask_probs, prop_boxes, prop_valid
 
 
+def detect_batched(
+    params,
+    online: OnlineModelSet,
+    anchors: jax.Array,  # [HW*A, 4]
+    images: jax.Array,  # [B, H, W, 3] padded canvases
+    image_sizes: jax.Array,  # [B, 2] true (width, height)
+    cfg: DetectorConfig = DetectorConfig(),
+    with_masks: bool = True,
+    gt_boxes: Optional[jax.Array] = None,  # [B, K, 4]
+    gt_labels: Optional[jax.Array] = None,  # [B, K]
+    gt_valid: Optional[jax.Array] = None,  # [B, K] bool
+):
+    """Image-batched inference, semantically ``jax.vmap(detect)`` (the
+    equivalence is unit-tested) but structured for the TPU: per-image stages
+    (top-k, NMS, RoIAlign) run under vmap while every rowwise stage — the
+    on-line RPN/box/mask head scoring and res5 — runs on the batch
+    FLATTENED into the row axis. Measured on v5e at batch 8: XLA's fused
+    Gaussian-mmv degrades 2.4x when the feature rows carry a leading batch
+    dim (mask head 22.3 -> 9.3 ms/batch flat), so the flattening is worth
+    ~2 ms/img of the ~12 ms total."""
+    from online_detection_tpu.data.transforms import normalize_canvas
+    from online_detection_tpu.models.rpn import rpn_online_flat
+
+    b = images.shape[0]
+    images = normalize_canvas(images).astype(resolve_compute_dtype(cfg))
+    c4 = resnet.backbone_c4(params["backbone"], images)  # [B,h,w,1024]
+    t = rpn_features(params["rpn"], c4)  # [B,h,w,1024]
+    h, w, ch = t.shape[1], t.shape[2], t.shape[3]
+
+    if online.rpn is None:
+        logits, deltas4 = rpn_pretrained(params["rpn"], t)
+        a = logits.shape[-1]
+        scores = logits.reshape(b, h * w * a)
+        deltas = deltas4.reshape(b, h * w * a, 4)
+    else:
+        s_f, d_f = rpn_online_flat(online.rpn, t.reshape(b * h * w, ch))
+        a = s_f.shape[-1]
+        scores = s_f.reshape(b, h * w * a)
+        deltas = d_f.reshape(b, h * w * a, 4)
+
+    prop_boxes, prop_scores, prop_valid = jax.vmap(
+        lambda s, d, sz: propose(
+            s, d, anchors, sz,
+            pre_nms_top_n=cfg.pre_nms_top_n,
+            post_nms_top_n=cfg.post_nms_top_n,
+            nms_thresh=cfg.rpn_nms_thresh,
+            min_size=cfg.rpn_min_size,
+        )
+    )(scores, deltas, image_sizes)  # [B, R, 4], [B, R], [B, R]
+
+    pooled = jax.vmap(
+        lambda f, bx: roi_align(
+            f, bx, cfg.pooler_resolution, cfg.pooler_resolution,
+            cfg.pooler_scale, roi_chunk=cfg.roi_chunk,
+        )
+    )(c4, prop_boxes)  # [B, R, P, P, 1024]
+    r = pooled.shape[1]
+    feats = resnet.res5_head(
+        params["backbone"], pooled.reshape((b * r,) + pooled.shape[2:])
+    )  # [B*R, 2048]
+    cls_scores, box_deltas = box_predict(
+        online.detector, feats, cfg.normalize_regressor_features
+    )
+    dets = jax.vmap(
+        lambda pb, pv, cs, bd, sz: postprocess_detections(
+            pb, pv, cs, bd, sz,
+            score_thresh=cfg.score_thresh,
+            nms_thresh=cfg.nms_thresh,
+            detections_per_img=cfg.detections_per_img,
+        )
+    )(
+        prop_boxes, prop_valid,
+        cls_scores.reshape(b, r, -1), box_deltas.reshape(b, r, -1),
+        image_sizes,
+    )
+    if gt_boxes is not None:
+        dets = Detections(
+            boxes=gt_boxes * gt_valid[..., None],
+            scores=gt_valid.astype(jnp.float32),
+            labels=gt_labels.astype(jnp.int32) * gt_valid,
+            valid=gt_valid,
+        )
+
+    mask_probs = None
+    if with_masks and online.mask is not None:
+        pooled2 = jax.vmap(
+            lambda f, bx: roi_align(
+                f, bx, cfg.pooler_resolution, cfg.pooler_resolution,
+                cfg.pooler_scale, roi_chunk=cfg.roi_chunk,
+            )
+        )(c4, dets.boxes)  # [B, D, P, P, 1024]
+        d = pooled2.shape[1]
+        res5 = resnet.res5_feature_map(
+            params["backbone"], pooled2.reshape((b * d,) + pooled2.shape[2:])
+        )  # [B*D, 7, 7, 2048]
+        deconv = mask_deconv(params["mask_head"], res5)
+        pixel_scores = mask_predict(online.mask, deconv)  # [B*D,14,14,C+1]
+        mask_probs = select_mask_channel(
+            pixel_scores, dets.labels.reshape(b * d)
+        ).reshape(b, d, cfg.pooler_resolution, cfg.pooler_resolution)
+
+    return dets, mask_probs, prop_boxes, prop_valid
+
+
 def detect_pretrained(
     params,
     anchors: jax.Array,

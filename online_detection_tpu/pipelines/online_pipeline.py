@@ -161,22 +161,22 @@ def _jit_detect(dcfg: DetectorConfig, with_masks: bool, gt_mode: bool):
 @functools.lru_cache(maxsize=None)
 def _jit_detect_batched(dcfg: DetectorConfig, with_masks: bool, gt_mode: bool,
                         mesh=None, axis_name: str = "mb"):
-    """Image-batched inference program: detect vmapped over stacked canvases
-    (the reference is hard-wired batch 1, ``TEST.IMS_PER_BATCH: 1``); with a
-    mesh the batch axis is sharded across devices, models replicated."""
+    """Image-batched inference program (the reference is hard-wired batch 1,
+    ``TEST.IMS_PER_BATCH: 1``); with a mesh the batch axis is sharded across
+    devices, models replicated. Uses ``detect_batched`` — per-image stages
+    vmapped, rowwise head stages flattened across the batch (measured ~2
+    ms/img faster than a plain vmap(detect) on v5e; see models/detector.py)."""
+    from online_detection_tpu.models.detector import detect_batched
+
     if gt_mode:
-        fn = jax.vmap(
-            lambda p, o, a, im, sz, gb, gl, gv: detect(
-                p, o, a, im, sz, dcfg, with_masks,
-                gt_boxes=gb, gt_labels=gl, gt_valid=gv,
-            ),
-            in_axes=(None, None, None, 0, 0, 0, 0, 0),
+        fn = lambda p, o, a, im, sz, gb, gl, gv: detect_batched(
+            p, o, a, im, sz, dcfg, with_masks,
+            gt_boxes=gb, gt_labels=gl, gt_valid=gv,
         )
         n_batched = 5
     else:
-        fn = jax.vmap(
-            lambda p, o, a, im, sz: detect(p, o, a, im, sz, dcfg, with_masks),
-            in_axes=(None, None, None, 0, 0),
+        fn = lambda p, o, a, im, sz: detect_batched(
+            p, o, a, im, sz, dcfg, with_masks
         )
         n_batched = 2
     if mesh is None:

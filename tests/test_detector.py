@@ -108,3 +108,55 @@ def test_detect_pretrained_rpn_path(rng):
     assert masks is None
     assert dets.boxes.shape == (10, 4)
     assert bool(pvalid.any())
+
+
+def test_detect_batched_matches_vmap_detect(rng):
+    """detect_batched (rowwise head stages flattened across the image batch —
+    the production inference program) is semantically jax.vmap(detect)."""
+    from online_detection_tpu.models.detector import detect_batched
+
+    h, w, b = 96, 128, 3
+    params = init_detector_params(jax.random.key(2), 15, 4)
+    online = build_online(rng)
+    anchors = jnp.asarray(grid_anchors(h // 16, w // 16))
+    images = jnp.asarray(rng.normal(size=(b, h, w, 3)).astype(np.float32) * 40)
+    sizes = jnp.asarray([[w, h], [w - 10, h - 6], [w, h - 16]], jnp.float32)
+    cfg = DetectorConfig(pre_nms_top_n=150, post_nms_top_n=40,
+                         detections_per_img=12)
+
+    want = jax.vmap(
+        lambda im, sz: detect(params, online, anchors, im, sz, cfg, True)
+    )(images, sizes)
+    got = detect_batched(params, online, anchors, images, sizes, cfg, True)
+
+    for g, x in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+def test_detect_batched_gt_mode_matches_vmap(rng):
+    """GT-substitution (--eval_segm_with_gt_bboxes) parity with vmap(detect)."""
+    from online_detection_tpu.models.detector import detect_batched
+
+    h, w, b, k = 96, 128, 2, 4
+    params = init_detector_params(jax.random.key(3), 15, 4)
+    online = build_online(rng)
+    anchors = jnp.asarray(grid_anchors(h // 16, w // 16))
+    images = jnp.asarray(rng.normal(size=(b, h, w, 3)).astype(np.float32) * 40)
+    sizes = jnp.asarray([[w, h], [w, h]], jnp.float32)
+    gb = jnp.asarray(rng.uniform(0, 60, size=(b, k, 4)).astype(np.float32))
+    gb = gb.at[..., 2:].add(20.0)
+    gl = jnp.asarray(rng.integers(1, 4, size=(b, k)).astype(np.int32))
+    gv = jnp.asarray([[True, True, False, True], [True, False, True, False]])
+    cfg = DetectorConfig(pre_nms_top_n=150, post_nms_top_n=40,
+                         detections_per_img=k)
+
+    want = jax.vmap(
+        lambda im, sz, b_, l_, v_: detect(
+            params, online, anchors, im, sz, cfg, True,
+            gt_boxes=b_, gt_labels=l_, gt_valid=v_,
+        )
+    )(images, sizes, gb, gl, gv)
+    got = detect_batched(params, online, anchors, images, sizes, cfg, True,
+                         gt_boxes=gb, gt_labels=gl, gt_valid=gv)
+    for g, x in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(x), rtol=1e-5, atol=1e-5)
