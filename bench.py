@@ -212,7 +212,10 @@ def main():
         del thunk  # frees this head's pools before the next stage
 
     # ---- stage 6: harvest throughput (batched trunk + chunks + reservoirs) ----
-    if _remaining(deadline) > 120:
+    if _remaining(deadline) <= 120:
+        print(f"# bench: skipping throughput stages "
+              f"(deadline, {_remaining(deadline):.0f}s left)", file=sys.stderr)
+    else:
         try:
             from online_detection_tpu.engine.harvest import HarvestConfig
             from online_detection_tpu.models.anchors import (

@@ -67,10 +67,16 @@ def gaussian_kernel(x: jax.Array, c: jax.Array, sigma: float) -> jax.Array:
     return jnp.exp(-sq / (2.0 * sigma * sigma))
 
 
+@functools.partial(jax.jit, static_argnames=("sigma",))
 def mmv_xla(
     x: jax.Array, c: jax.Array, v: jax.Array, sigma: float
 ) -> jax.Array:
-    """K(x, c) @ v without Pallas. v: [M, t] (or [M] -> [N])."""
+    """K(x, c) @ v through XLA fusion. v: [M, t] (or [M] -> [N]).
+
+    Jitted at this boundary so eager callers (bench, notebooks) get the
+    fused program rather than per-op dispatch with K materialized in HBM
+    (measured 9x slower eager); inside an enclosing jit this is a no-op.
+    """
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]

@@ -103,11 +103,17 @@ def roi_align(
         size_h = jnp.maximum(y2 * spatial_scale - start_h, 1.0)
         a = _interp_matrix(start_h, size_h, pooled_h, h, max_samples)  # [P,H]
         b = _interp_matrix(start_w, size_w, pooled_w, w, max_samples)  # [P,W]
-        # A @ F @ B^T over channels: [P,H]x[H,W,C] -> [P,W,C] -> [P,P,C].
-        # Dtype-following (coordinate/weight math stays f32): with bf16
-        # features the [R,P,W,C] separable intermediate — the op's HBM cost —
-        # halves.
+        # A @ F @ B^T over channels, contracting the LONGER spatial axis
+        # first so the per-RoI intermediate ([P,W,C] vs [H,P,C]) — the op's
+        # HBM cost — is minimal (24% smaller at the 38x50 600px feature map).
+        # Dtype-following (coordinate/weight math stays f32): bf16 features
+        # halve the intermediate again.
         dt = features.dtype
+        if w >= h:  # contract w first -> [H, P, C], then h
+            t = jnp.einsum("qw,hwc->hqc", b.astype(dt), features,
+                           preferred_element_type=dt)
+            return jnp.einsum("ph,hqc->pqc", a.astype(dt), t,
+                              preferred_element_type=dt)
         t = jnp.einsum("ph,hwc->pwc", a.astype(dt), features,
                        preferred_element_type=dt)
         return jnp.einsum("qw,pwc->pqc", b.astype(dt), t,
