@@ -64,6 +64,12 @@ class HarvestConfig(NamedTuple):
     mask_pix_cap: int = 64  # sampled pixels per GT per polarity
     sampling_factor: float = 0.3
     extract_only_gt_positives: bool = True
+    # Differential-test mode: replace the PRNG draws with the pinned index
+    # scheme of tests/ref_shims.deterministic_torch_sampling
+    # (randint -> arange % n, randperm -> reversed arange) so picks are
+    # bit-identical to the literal reference harvesting code driven with the
+    # same shims. Production runs keep explicit PRNG keys.
+    parity_sampling: bool = False
 
 
 class RPNChunk(NamedTuple):
@@ -105,19 +111,49 @@ class HarvestChunk(NamedTuple):
     average_recall: jax.Array  # scalar AR of this image's proposals
 
 
-def masked_sample(key: jax.Array, mask: jax.Array, n_out: int):
+def masked_sample(
+    key: jax.Array,
+    mask: jax.Array,
+    n_out: int,
+    parity: bool = False,
+    always_resample: bool = False,
+):
     """Reference-style sampling from a masked pool: all rows when
     count <= n_out, n_out draws WITH replacement otherwise
     (torch.randint semantics in ``rpn_getProposals.py:287``).
-    Returns (indices [n_out], valid [n_out])."""
+    Returns (indices [n_out], valid [n_out]).
+
+    Known intentional deviation from the reference's DETECTOR head
+    (``box_head_getProposals.py:235-240``): there the pool is resampled with
+    replacement even when count <= n_out, emitting duplicate rows; this
+    implementation takes each row once (duplicates add no information to the
+    FALKON caches — statistical, not bitwise, parity per SURVEY.md
+    "Randomness"). The RPN head (``rpn_getProposals.py:285-287``) samples
+    only when overfull, which both sides implement identically.
+
+    ``parity=True`` replaces the draws with the pinned scheme of
+    ``tests/ref_shims.deterministic_torch_sampling`` (randint -> arange % n):
+    with ``always_resample`` it reproduces the detector head's picks exactly
+    (pool rows cycled to n_out with duplicates), without it the RPN head's
+    (first n_out pool rows)."""
     n = mask.shape[0]
     cnt = jnp.sum(mask)
     order = jnp.argsort(~mask, stable=True)  # valid rows first
-    draws = jax.random.randint(key, (n_out,), 0, jnp.maximum(cnt, 1))
     slot = jnp.arange(n_out)
-    take = jnp.where(cnt > n_out, draws, jnp.minimum(slot, jnp.maximum(cnt - 1, 0)))
+    if parity:
+        if always_resample:
+            take = slot % jnp.maximum(cnt, 1)
+            valid = jnp.broadcast_to(cnt > 0, slot.shape)
+        else:
+            take = jnp.minimum(slot, jnp.maximum(cnt - 1, 0))
+            valid = slot < jnp.minimum(cnt, n_out)
+    else:
+        draws = jax.random.randint(key, (n_out,), 0, jnp.maximum(cnt, 1))
+        take = jnp.where(
+            cnt > n_out, draws, jnp.minimum(slot, jnp.maximum(cnt - 1, 0))
+        )
+        valid = slot < jnp.minimum(cnt, n_out)
     idx = order[jnp.clip(take, 0, n - 1)]
-    valid = slot < jnp.minimum(cnt, n_out)
     return idx, valid
 
 
@@ -131,12 +167,23 @@ def compact(mask: jax.Array, n_out: int):
     return idx, valid
 
 
-def random_subsample(key: jax.Array, mask: jax.Array, frac: float, n_out: int):
+def random_subsample(
+    key: jax.Array, mask: jax.Array, frac: float, n_out: int,
+    parity: bool = False,
+):
     """randperm(count)[:floor(frac*count)] — without replacement
-    (``mask_head_getProposals.py:115-118``). Returns (idx [n_out], valid)."""
+    (``mask_head_getProposals.py:115-118``). Returns (idx [n_out], valid).
+
+    ``parity=True``: pinned randperm (reversed arange, matching
+    ``tests/ref_shims.deterministic_torch_sampling``) — picks become the LAST
+    floor(frac*count) valid rows in descending row order, exactly the literal
+    reference's picks under the same shim."""
     n = mask.shape[0]
     cnt = jnp.sum(mask)
-    pri = jax.random.uniform(key, (n,)) + (~mask) * 1e9  # random order, valid first
+    if parity:
+        pri = -jnp.arange(n, dtype=jnp.float32) + (~mask) * 1e9
+    else:
+        pri = jax.random.uniform(key, (n,)) + (~mask) * 1e9  # random order, valid first
     order = jnp.argsort(pri)
     take = jnp.floor(frac * cnt).astype(jnp.int32)
     idx = order[jnp.minimum(jnp.arange(n_out), n - 1)]
@@ -190,7 +237,8 @@ def harvest_rpn(
     def per_class(a, k):
         pos_mask = pos_pool & (anchor_cls == a)
         neg_idx, neg_valid = masked_sample(
-            k, neg_pool & (anchor_cls == a), cfg.negatives_to_pick
+            k, neg_pool & (anchor_cls == a), cfg.negatives_to_pick,
+            parity=cfg.parity_sampling,
         )
         pos_idx, pos_valid = compact(pos_mask, cfg.rpn_pos_cap)
         neg_feats = feats_flat[anchor_loc[neg_idx]]
@@ -259,7 +307,10 @@ def harvest_detector(
     def per_class(c, k):
         pool_present = rows_valid & (overlap[:, c] < cfg.det_neg_iou)
         pool = jnp.where(present[c], pool_present, rows_valid)
-        idx, valid = masked_sample(k, pool, cfg.negatives_to_pick)
+        idx, valid = masked_sample(
+            k, pool, cfg.negatives_to_pick,
+            parity=cfg.parity_sampling, always_resample=True,
+        )
         # class present but zero sub-threshold rows -> nothing harvested
         valid = valid & jnp.where(
             present[c], jnp.sum(pool_present) > 0, True
@@ -328,8 +379,14 @@ def harvest_mask(
     keys = jax.random.split(key, 2 * g).reshape(g, 2)
 
     def per_gt(f, pospix, ks, valid):
-        pi, pv = random_subsample(ks[0], pospix, cfg.sampling_factor, cfg.mask_pix_cap)
-        ni, nv = random_subsample(ks[1], ~pospix, cfg.sampling_factor, cfg.mask_pix_cap)
+        pi, pv = random_subsample(
+            ks[0], pospix, cfg.sampling_factor, cfg.mask_pix_cap,
+            parity=cfg.parity_sampling,
+        )
+        ni, nv = random_subsample(
+            ks[1], ~pospix, cfg.sampling_factor, cfg.mask_pix_cap,
+            parity=cfg.parity_sampling,
+        )
         want = (jnp.floor(cfg.sampling_factor * jnp.sum(pospix))
                 + jnp.floor(cfg.sampling_factor * jnp.sum(~pospix))).astype(jnp.int32)
         got = jnp.sum(pv & valid) + jnp.sum(nv & valid)

@@ -35,7 +35,8 @@ _FAST_MODULES = {
     "test_anchors", "test_boxes", "test_compile_cache", "test_configs",
     "test_data_eval", "test_falkon", "test_gaussian_mmv", "test_minibootstrap",
     "test_native_io", "test_nms", "test_reference_parity",
-    "test_reference_parity_eval", "test_reference_parity_tools", "test_rls",
+    "test_reference_parity_eval", "test_reference_parity_harvest",
+    "test_reference_parity_tools", "test_rls",
     "test_rls_device_solve", "test_roi_align", "test_weights", "test_ycb_video",
 }
 

@@ -172,7 +172,10 @@ def legacy_torch():
     """torch-1.x compatibility + cuda->cpu mapping, restored on exit."""
     orig_eig = torch.eig
     orig_to = torch.Tensor.to
-    orig_factories = {n: getattr(torch, n) for n in ("zeros", "full", "ones", "empty", "tensor")}
+    orig_factories = {
+        n: getattr(torch, n)
+        for n in ("zeros", "full", "ones", "empty", "tensor", "arange")
+    }
 
     def patched_to(self, *args, **kwargs):
         args = tuple(_map_cuda(a) for a in args)
@@ -199,6 +202,324 @@ def legacy_torch():
         torch.Tensor.to = orig_to
         for n, f in orig_factories.items():
             setattr(torch, n, f)
+
+
+# --------------------------------------------------------------------------
+# Harvesting-head shims: import the LITERAL reference `*_getProposals`
+# modules (rpn_getProposals.py, box_head_getProposals.py,
+# mask_head_getProposals.py) with their external factory imports stubbed so
+# the per-image harvesting logic itself runs unmodified on CPU torch.
+
+
+class RefCfg:
+    """Attribute+item namespace standing in for the yacs CfgNode the
+    reference modules read knobs from (they use both ``cfg.A.B`` and
+    ``cfg.A['B']`` access, plus ``.clone()``)."""
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
+
+    def __getitem__(self, k):
+        return getattr(self, k)
+
+    def clone(self):
+        return self
+
+
+def _ensure_module(name, path=None):
+    if name not in sys.modules:
+        m = types.ModuleType(name)
+        m.__path__ = [path] if path else []
+        sys.modules[name] = m
+    return sys.modules[name]
+
+
+def install_maskrcnn_harvest_stubs():
+    """Everything the three reference harvesting modules import:
+
+    - a full-featured BoxList stub (resize / indexing / copy_with_fields /
+      cat_boxlist) — pure bookkeeping, no semantics of its own;
+    - boxlist_iou (from the eval stubs; +1 convention, differentially tested
+      through ``utils/boxes.box_iou``);
+    - BoxCoder / build_retinanet stubs (instantiated but never exercised by
+      the harvesting paths under test);
+    - ``mrcnn_modified.modeling.registry`` (a plain dict registry);
+    - the REAL ``mrcnn_modified/utils/evaluations.py`` (compute_overlap_torch);
+    - ``np.float`` restored as the builtin alias the reference's
+      anchor_generator.py predates numpy 1.24 removing.
+    """
+    import numpy as np
+
+    if not hasattr(np, "float"):
+        np.float = float  # deprecated alias the reference still uses
+
+    install_maskrcnn_eval_stubs()
+    pkg = sys.modules["maskrcnn_benchmark"]
+    bl_mod = sys.modules["maskrcnn_benchmark.structures.bounding_box"]
+    BoxList = bl_mod.BoxList
+
+    if not hasattr(BoxList, "__getitem__"):
+
+        def _getitem(self, item):
+            out = BoxList(self.bbox[item], self.size, self.mode)
+            for k, v in self.extra_fields.items():
+                out.extra_fields[k] = v[item]
+            return out
+
+        def _resize(self, size):
+            rw = float(size[0]) / float(self.size[0])
+            rh = float(size[1]) / float(self.size[1])
+            bbox = self.bbox.clone()
+            bbox[:, 0::2] = bbox[:, 0::2] * rw
+            bbox[:, 1::2] = bbox[:, 1::2] * rh
+            out = BoxList(bbox, size, self.mode)
+            out.extra_fields = dict(self.extra_fields)
+            return out
+
+        def _copy_with_fields(self, fields):
+            out = BoxList(self.bbox.clone(), self.size, self.mode)
+            for k in fields:
+                out.extra_fields[k] = self.extra_fields[k]
+            return out
+
+        BoxList.__getitem__ = _getitem
+        BoxList.resize = _resize
+        BoxList.copy_with_fields = _copy_with_fields
+        BoxList.fields = lambda self: list(self.extra_fields.keys())
+        BoxList.copy = lambda self: self.copy_with_fields(self.fields())
+
+    bl_ops = sys.modules["maskrcnn_benchmark.structures.boxlist_ops"]
+    if not hasattr(bl_ops, "cat_boxlist"):
+
+        def cat_boxlist(boxlists):
+            out = BoxList(
+                torch.cat([b.bbox for b in boxlists], dim=0),
+                boxlists[0].size,
+                boxlists[0].mode,
+            )
+            for k in boxlists[0].extra_fields:
+                out.extra_fields[k] = torch.cat(
+                    [b.extra_fields[k] for b in boxlists], dim=0
+                )
+            return out
+
+        bl_ops.cat_boxlist = cat_boxlist
+
+    if "maskrcnn_benchmark.modeling.box_coder" not in sys.modules:
+        modeling = _ensure_module("maskrcnn_benchmark.modeling")
+        pkg.modeling = modeling
+        box_coder = types.ModuleType("maskrcnn_benchmark.modeling.box_coder")
+
+        class BoxCoder:  # instantiated by RPNModule, never called in harvest
+            def __init__(self, weights, bbox_xform_clip=None):
+                self.weights = weights
+
+        box_coder.BoxCoder = BoxCoder
+        sys.modules["maskrcnn_benchmark.modeling.box_coder"] = box_coder
+        retinanet = types.ModuleType(
+            "maskrcnn_benchmark.modeling.rpn.retinanet.retinanet"
+        )
+        retinanet.build_retinanet = lambda cfg, in_channels: None
+        for name in (
+            "maskrcnn_benchmark.modeling.rpn",
+            "maskrcnn_benchmark.modeling.rpn.retinanet",
+        ):
+            _ensure_module(name)
+        sys.modules[
+            "maskrcnn_benchmark.modeling.rpn.retinanet.retinanet"
+        ] = retinanet
+
+    # mrcnn_modified.modeling.registry: a dict with a .register decorator
+    _ensure_module("mrcnn_modified")
+    modeling = _ensure_module("mrcnn_modified.modeling")
+    if not hasattr(modeling, "registry"):
+
+        class _Registry(dict):
+            def register(self, name):
+                def deco(cls):
+                    self[name] = cls
+                    return cls
+
+                return deco
+
+        registry = types.ModuleType("mrcnn_modified.modeling.registry")
+        registry.RPN_HEADS = _Registry()
+
+        class StubIdentityHead:
+            """Injection point: the test precomputes the RPN conv features,
+            so the head is the identity on the feature list."""
+
+            def __init__(self, cfg, in_channels, num_anchors):
+                pass
+
+            def __call__(self, x):
+                return x
+
+        registry.RPN_HEADS["StubIdentityHead"] = StubIdentityHead
+        modeling.registry = registry
+        sys.modules["mrcnn_modified.modeling.registry"] = registry
+
+    # the REAL compute_overlap_torch (pure torch)
+    if "mrcnn_modified.utils.evaluations" not in sys.modules:
+        utils_pkg = _ensure_module("mrcnn_modified.utils")
+        sys.modules["mrcnn_modified"].utils = utils_pkg
+        load_reference_module(
+            "src/modules/feature-extractor/mrcnn_modified/utils/evaluations.py",
+            "mrcnn_modified.utils.evaluations",
+        )
+    return BoxList
+
+
+_RPN_DIR = "src/modules/feature-extractor/mrcnn_modified/modeling/rpn"
+_ROI_DIR = "src/modules/feature-extractor/mrcnn_modified/modeling/roi_heads"
+
+
+def load_rpn_harvest_module():
+    """The literal ``rpn_getProposals.py`` with its REAL anchor_generator
+    sibling; only the loss/postprocessor factories (unused by the harvesting
+    path) are stubbed."""
+    install_maskrcnn_harvest_stubs()
+    name = "ref_harvest_rpn.rpn_getProposals"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_harvest_rpn", reference_path(_RPN_DIR))
+    loss = types.ModuleType("ref_harvest_rpn.loss")
+    loss.make_rpn_loss_evaluator = lambda cfg, coder: None
+    sys.modules["ref_harvest_rpn.loss"] = loss
+    inf = types.ModuleType("ref_harvest_rpn.inference")
+    inf.make_rpn_postprocessor = lambda cfg, coder, is_train=None: None
+    sys.modules["ref_harvest_rpn.inference"] = inf
+    load_reference_module(
+        _RPN_DIR + "/anchor_generator.py", "ref_harvest_rpn.anchor_generator"
+    )
+    return load_reference_module(_RPN_DIR + "/rpn_getProposals.py", name)
+
+
+class StubBoxFeatureExtractor:
+    """Injection point for the precomputed [R, D] pooled features the test
+    feeds both implementations (set ``injected``/``out_channels`` class attrs
+    before constructing ROIBoxHead)."""
+
+    injected = None  # torch [R, D]
+    out_channels = None
+
+    def __init__(self, cfg, in_channels):
+        pass
+
+    def __call__(self, features, proposals):
+        return type(self).injected[:, :, None, None]
+
+
+def load_box_head_harvest_module():
+    """The literal ``box_head_getProposals.py``; the feature extractor is the
+    injection stub above, predictor/postprocessor/loss factories are inert."""
+    install_maskrcnn_harvest_stubs()
+    name = "ref_harvest_boxhead.box_head_getProposals"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_harvest_boxhead", reference_path(_ROI_DIR + "/box_head"))
+    fx = types.ModuleType("ref_harvest_boxhead.roi_box_feature_extractors")
+    fx.make_roi_box_feature_extractor = (
+        lambda cfg, in_ch: StubBoxFeatureExtractor(cfg, in_ch)
+    )
+    sys.modules["ref_harvest_boxhead.roi_box_feature_extractors"] = fx
+    pred = types.ModuleType("ref_harvest_boxhead.roi_box_predictors")
+    pred.make_roi_box_predictor = lambda cfg, in_ch: None
+    sys.modules["ref_harvest_boxhead.roi_box_predictors"] = pred
+    inf = types.ModuleType("ref_harvest_boxhead.inference")
+    inf.make_roi_box_post_processor = lambda cfg: None
+    sys.modules["ref_harvest_boxhead.inference"] = inf
+    loss = types.ModuleType("ref_harvest_boxhead.loss")
+    loss.make_roi_box_loss_evaluator = lambda cfg: None
+    sys.modules["ref_harvest_boxhead.loss"] = loss
+    return load_reference_module(
+        _ROI_DIR + "/box_head/box_head_getProposals.py", name
+    )
+
+
+class StubConv5Mask:
+    """conv5_mask injection: returns the precomputed (non-negative, so the
+    module's relu is the identity) [G, CH, 14, 14] mask features."""
+
+    injected = None
+    out_channels = None
+
+    def __call__(self, x):
+        return type(self).injected
+
+
+class StubMaskPredictor:
+    def __init__(self, cfg, in_channels):
+        self.conv5_mask = StubConv5Mask()
+        self.mask_fcn_logits = types.SimpleNamespace(
+            in_channels=StubConv5Mask.out_channels
+        )
+
+
+class StubSegmentationMasks:
+    """Stands in for maskrcnn-benchmark's SegmentationMask: the projected
+    14x14 mask tensors are precomputed and fed identically to both sides, so
+    crop/resize are the identity (the projection op itself is compared in
+    tests/test_harvest.py against torch bilinear resampling)."""
+
+    class _Item:
+        def __init__(self, m):
+            self.m = m
+
+        def crop(self, box):
+            return self
+
+        def resize(self, size):
+            return self
+
+        def get_mask_tensor(self):
+            return self.m
+
+    def __init__(self, masks_14, size):
+        self.items = [self._Item(m) for m in masks_14]
+        self.size = size
+
+    def __iter__(self):
+        return iter(self.items)
+
+    def __len__(self):
+        return len(self.items)
+
+
+def load_mask_head_harvest_module():
+    """The literal ``mask_head_getProposals.py`` with predictor injection."""
+    install_maskrcnn_harvest_stubs()
+    name = "ref_harvest_maskhead.mask_head_getProposals"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_harvest_maskhead", reference_path(_ROI_DIR + "/mask_head"))
+    fx = types.ModuleType("ref_harvest_maskhead.roi_mask_feature_extractors")
+    fx.make_roi_mask_feature_extractor = lambda cfg, in_ch: types.SimpleNamespace(
+        out_channels=in_ch
+    )
+    sys.modules["ref_harvest_maskhead.roi_mask_feature_extractors"] = fx
+    pred = types.ModuleType("ref_harvest_maskhead.roi_mask_predictors")
+    pred.make_roi_mask_predictor = lambda cfg, in_ch: StubMaskPredictor(cfg, in_ch)
+    sys.modules["ref_harvest_maskhead.roi_mask_predictors"] = pred
+    inf = types.ModuleType("ref_harvest_maskhead.inference")
+    inf.make_roi_mask_post_processor = lambda cfg: None
+    sys.modules["ref_harvest_maskhead.inference"] = inf
+    loss = types.ModuleType("ref_harvest_maskhead.loss")
+    loss.make_roi_mask_loss_evaluator = lambda cfg: None
+    sys.modules["ref_harvest_maskhead.loss"] = loss
+    return load_reference_module(
+        _ROI_DIR + "/mask_head/mask_head_getProposals.py", name
+    )
+
+
+def load_average_recall_module():
+    install_maskrcnn_harvest_stubs()
+    name = "ref_harvest_rpn.average_recall"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_harvest_rpn", reference_path(_RPN_DIR))
+    return load_reference_module(_RPN_DIR + "/average_recall.py", name)
 
 
 @contextlib.contextmanager
