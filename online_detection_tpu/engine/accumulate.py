@@ -83,11 +83,15 @@ def _batch_split(pool: np.ndarray, iterations: int, batch_size: int, dim: int,
 
 
 def _round_robin_split(image_chunks: List[np.ndarray], iterations: int,
-                       batch_size: int, dim: int):
+                       batch_size: int, dim: int,
+                       negatives_to_pick: Optional[int] = None):
     """SHUFFLE_NEGATIVES=False semantics (``rpn_getProposals.py:290-340``,
     ``box_head_getProposals.py:245-270``): each image contributes up to
-    ``ceil(npick / iterations)`` rows to each batch in order, skipping full
-    batches — so every batch mixes rows from across the image stream."""
+    ``ceil(negatives_to_pick / iterations)`` rows to each batch in order,
+    skipping full batches — so every batch mixes rows from across the image
+    stream. The per-batch stride uses the CONFIGURED ``negatives_to_pick``
+    (``rpn_getProposals.py:296``), not the image's actual row count — they
+    differ when a pool underfills, and the stride changes batch membership."""
     out = np.zeros((iterations, batch_size, dim), np.float32)
     fill = np.zeros((iterations,), int)
     current_batch = 0
@@ -95,7 +99,7 @@ def _round_robin_split(image_chunks: List[np.ndarray], iterations: int,
         npick = len(rows)
         if npick == 0 or current_batch >= iterations:
             continue
-        per_batch = math.ceil(npick / iterations)
+        per_batch = math.ceil((negatives_to_pick or npick) / iterations)
         idx = 0
         for b in range(current_batch, iterations):
             if fill[b] >= batch_size:
@@ -214,6 +218,8 @@ class HarvestAccumulator:
         batch_size: int,
         shuffle: bool = True,
         pos_cap: Optional[int] = None,
+        negatives_to_pick: Optional[int] = None,
+        arrival_order: bool = False,
     ) -> Dict[str, np.ndarray]:
         """-> {pos, pos_valid, neg, neg_valid} solver-shaped arrays."""
         c = pools.n
@@ -225,15 +231,21 @@ class HarvestAccumulator:
         neg_valid = np.zeros((c, iterations, batch_size), bool)
         neg_dropped = 0
         for i in range(c):
-            if shuffle:
+            if shuffle or arrival_order:
+                # shuffle: flush-time randperm re-batching
+                # (``extract_features_rpn_detector.py:320-346``); arrival
+                # order (rng=None): the mask pools' append-and-roll-over
+                # filling (``mask_head_getProposals.py:118-138``)
                 pool = pools.cat("neg", i, dim)
                 neg[i], neg_valid[i], nd = _batch_split(
-                    pool, iterations, batch_size, dim, self.rng
+                    pool, iterations, batch_size, dim,
+                    self.rng if shuffle else None,
                 )
             else:
                 # non-shuffle parity: per-image round-robin batch filling
                 neg[i], neg_valid[i], nd = _round_robin_split(
-                    pools.neg[i], iterations, batch_size, dim
+                    pools.neg[i], iterations, batch_size, dim,
+                    negatives_to_pick,
                 )
             neg_dropped += nd
         return {
@@ -253,6 +265,7 @@ class HarvestAccumulator:
         rpn_shuffle_negatives: Optional[bool] = None,
         with_rpn: bool = True,
         with_mask: bool = True,
+        negatives_to_pick: Optional[int] = None,
     ) -> Dict:
         if rpn_shuffle_negatives is None:
             rpn_shuffle_negatives = shuffle_negatives
@@ -263,12 +276,12 @@ class HarvestAccumulator:
         if with_rpn:
             out["rpn"] = self.finalize_head(
                 self.rpn_pools, rpn_dim, rpn_iterations, rpn_batch_size,
-                rpn_shuffle_negatives,
+                rpn_shuffle_negatives, negatives_to_pick=negatives_to_pick,
             )
             out["rpn"]["coxy"] = self._coxy(self.rpn_coxy, rpn_dim)
         out["det"] = self.finalize_head(
             self.det_pools, det_dim, det_iterations, det_batch_size,
-            shuffle_negatives,
+            shuffle_negatives, negatives_to_pick=negatives_to_pick,
         )
         out["det"]["coxy"] = self._coxy(self.det_coxy, det_dim)
         if with_mask:
@@ -282,7 +295,8 @@ class HarvestAccumulator:
             ]
             seg_iters = max(1, math.ceil(max(counts, default=1) / segm_batch_size))
             out["mask"] = self.finalize_head(
-                self.mask_pools, mask_dim, seg_iters, segm_batch_size, shuffle=False
+                self.mask_pools, mask_dim, seg_iters, segm_batch_size,
+                shuffle=False, arrival_order=True,
             )
         # overflow accounting: fixed capacities must never truncate silently
         # (the reference keeps unbounded per-class lists,

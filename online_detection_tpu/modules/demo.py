@@ -232,5 +232,6 @@ class IncrementalTeacher:
             det_iterations=cfg.iterations, det_batch_size=cfg.batch_size,
             segm_batch_size=cfg.segm_batch_size,
             with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
+            negatives_to_pick=npick,
         )
         return train_online_modules(self._next_key(), harvest, cfg, output_dir)

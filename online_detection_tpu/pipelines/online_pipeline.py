@@ -307,6 +307,7 @@ def harvest_dataset(
         shuffle_negatives=cfg.shuffle_negatives,
         rpn_shuffle_negatives=cfg.rpn_shuffle_negatives,
         with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
+        negatives_to_pick=npick,
     )
     dt = time.time() - t0
     _write_result(

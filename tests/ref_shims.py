@@ -522,6 +522,111 @@ def load_average_recall_module():
     return load_reference_module(_RPN_DIR + "/average_recall.py", name)
 
 
+# --------------------------------------------------------------------------
+# Inference-head shims: import the LITERAL fused FALKON/RLS inference heads
+# (`rpn.py` OnlineRPNHead, `roi_box_predictors.py` FastRCNNPredictor,
+# `roi_mask_predictors.py` MaskRCNNC4Predictor). The only external they
+# exercise at inference time is falkon's Gaussian `kernel.mmv`; the stub
+# below implements the documented falkon contract
+# k(x, y) = exp(-||x - y||^2 / (2 sigma^2)) in plain torch — the packing /
+# normalization / reshape logic under test is the reference's own, and the
+# kernel formula itself is locked on our side by tests/test_falkon.py
+# (full-KRR limit) and tests/test_gaussian_mmv.py.
+
+
+class StubGaussianKernel:
+    def __init__(self, sigma):
+        self.sigma = float(sigma)
+
+    def mmv(self, X, centers, v, out=None):
+        sq = (
+            (X * X).sum(1)[:, None]
+            + (centers * centers).sum(1)[None, :]
+            - 2.0 * (X @ centers.T)
+        )
+        r = torch.exp(-sq.clamp(min=0) / (2.0 * self.sigma**2)) @ v
+        if out is not None:
+            out.copy_(r)
+            return out
+        return r
+
+
+class StubFalkonClassifier:
+    """What the reference inference heads read off a fitted falkon model:
+    ``ny_points_`` [M, d], ``alpha_`` [M, 1], ``M``, ``kernel.mmv`` and
+    ``predict`` (``rpn.py:189-227``, ``roi_box_predictors.py:128-160``)."""
+
+    def __init__(self, centers, alpha, sigma):
+        self.ny_points_ = torch.as_tensor(centers, dtype=torch.float32)
+        self.alpha_ = torch.as_tensor(alpha, dtype=torch.float32).reshape(-1, 1)
+        self.M = len(self.ny_points_)
+        self.kernel = StubGaussianKernel(sigma)
+
+    def predict(self, X):
+        return self.kernel.mmv(X, self.ny_points_, self.alpha_)
+
+
+def _ensure_registry_attr(name):
+    registry = sys.modules["mrcnn_modified.modeling.registry"]
+    if not hasattr(registry, name):
+        setattr(registry, name, type(registry.RPN_HEADS)())
+    return registry
+
+
+def load_rpn_inference_module():
+    """The literal ``rpn.py`` (OnlineRPNHead + fused parallel paths), loaded
+    into the same package as the harvest RPN so its relative imports resolve
+    to the already-installed siblings (real anchor_generator/average_recall,
+    stubbed loss/postprocessor factories)."""
+    load_rpn_harvest_module()
+    name = "ref_harvest_rpn.rpn"
+    if name in sys.modules:
+        return sys.modules[name]
+    return load_reference_module(_RPN_DIR + "/rpn.py", name)
+
+
+def load_box_predictor_module():
+    """The literal ``roi_box_predictors.py`` (OnlineDetectionBOXPredictor)."""
+    install_maskrcnn_harvest_stubs()
+    _ensure_registry_attr("ROI_BOX_PREDICTOR")
+    name = "ref_inference.roi_box_predictors"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_inference")
+    return load_reference_module(
+        _ROI_DIR + "/box_head/roi_box_predictors.py", name
+    )
+
+
+def load_mask_predictor_module():
+    """The literal ``roi_mask_predictors.py`` (MaskRCNNC4Predictor with the
+    REAL torch ConvTranspose2d conv5_mask)."""
+    install_maskrcnn_harvest_stubs()
+    _ensure_registry_attr("ROI_MASK_PREDICTOR")
+    name = "ref_inference.roi_mask_predictors"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_inference")
+    # maskrcnn_benchmark.layers.{Conv2d, ConvTranspose2d} are thin
+    # empty-batch wrappers around the torch modules
+    layers = sys.modules["maskrcnn_benchmark.layers"]
+    if not hasattr(layers, "Conv2d"):
+        layers.Conv2d = torch.nn.Conv2d
+        layers.ConvTranspose2d = torch.nn.ConvTranspose2d
+    # falkon import at module top; only kernel.mmv off the *model objects*
+    # (stubbed above) is ever called by the paths under test
+    if "falkon" not in sys.modules:
+        falkon_pkg = types.ModuleType("falkon")
+        mmv_ops = types.ModuleType("falkon.mmv_ops")
+        mmv_ops.batch_mmv = None
+        falkon_pkg.mmv_ops = mmv_ops
+        sys.modules["falkon"] = falkon_pkg
+        sys.modules["falkon.mmv_ops"] = mmv_ops
+    return load_reference_module(
+        _ROI_DIR + "/mask_head/roi_mask_predictors.py", name
+    )
+
+
 @contextlib.contextmanager
 def deterministic_torch_sampling(index_fn=None):
     """Replace torch.randint/randperm with a deterministic index scheme.
