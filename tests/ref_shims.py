@@ -627,6 +627,165 @@ def load_mask_predictor_module():
     )
 
 
+# --------------------------------------------------------------------------
+# Postprocessor shims: run the LITERAL RPNPostProcessor (`rpn/inference.py`)
+# and OnlineDetectionPostProcessor (with its REAL PostProcessor parent and
+# the REAL py_od_utils.decode_boxes_detector). The maskrcnn_benchmark
+# primitives they call are transcribed here with their exact Detectron
+# conventions (cited); their *semantics* are locked on our side by dedicated
+# golden tests (tests/test_nms.py greedy-NMS equivalence, tests/test_boxes.py
+# +1-pixel conventions).
+
+
+def install_postprocess_stubs():
+    install_maskrcnn_harvest_stubs()
+    BoxList = sys.modules["maskrcnn_benchmark.structures.bounding_box"].BoxList
+
+    if not hasattr(BoxList, "clip_to_image"):
+        # maskrcnn_benchmark BoxList.clip_to_image: clamp to [0, size-1]
+        def clip_to_image(self, remove_empty=True):
+            w, h = self.size
+            b = self.bbox.clone()
+            b[:, 0::2] = b[:, 0::2].clamp(min=0, max=w - 1)
+            b[:, 1::2] = b[:, 1::2].clamp(min=0, max=h - 1)
+            out = BoxList(b, self.size, self.mode)
+            out.extra_fields = dict(self.extra_fields)
+            if remove_empty:
+                keep = (b[:, 3] > b[:, 1]) & (b[:, 2] > b[:, 0])
+                return out[keep]
+            return out
+
+        BoxList.clip_to_image = clip_to_image
+
+    bl_ops = sys.modules["maskrcnn_benchmark.structures.boxlist_ops"]
+    if not hasattr(bl_ops, "boxlist_nms_impl"):
+
+        def _greedy_nms_keep(boxes, scores, thresh):
+            # the CUDA _box_nms contract: greedy by descending score,
+            # suppress IoU > thresh with the +1 area convention
+            order = torch.argsort(scores, descending=True)
+            x1, y1, x2, y2 = boxes.unbind(1)
+            areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+            suppressed = torch.zeros(len(boxes), dtype=torch.bool)
+            keep = []
+            for _i in order.tolist():
+                if suppressed[_i]:
+                    continue
+                keep.append(_i)
+                xx1 = torch.max(x1[_i], x1[order])
+                yy1 = torch.max(y1[_i], y1[order])
+                xx2 = torch.min(x2[_i], x2[order])
+                yy2 = torch.min(y2[_i], y2[order])
+                w = (xx2 - xx1 + 1).clamp(min=0)
+                h = (yy2 - yy1 + 1).clamp(min=0)
+                inter = w * h
+                iou = inter / (areas[_i] + areas[order] - inter)
+                suppressed[order[iou > thresh]] = True
+            return torch.tensor(keep, dtype=torch.long)
+
+        def boxlist_nms(boxlist, nms_thresh, max_proposals=-1, score_field="scores"):
+            if nms_thresh <= 0:
+                return boxlist
+            keep = _greedy_nms_keep(
+                boxlist.bbox, boxlist.get_field(score_field), nms_thresh
+            )
+            if max_proposals > 0:
+                keep = keep[:max_proposals]
+            return boxlist[keep]
+
+        def remove_small_boxes(boxlist, min_size):
+            # maskrcnn semantics: xywh sides with TO_REMOVE=1, both >= min
+            b = boxlist.bbox
+            ws = b[:, 2] - b[:, 0] + 1
+            hs = b[:, 3] - b[:, 1] + 1
+            keep = ((ws >= min_size) & (hs >= min_size)).nonzero().squeeze(1)
+            return boxlist[keep]
+
+        bl_ops.boxlist_nms_impl = _greedy_nms_keep
+        bl_ops.boxlist_nms = boxlist_nms
+        bl_ops.remove_small_boxes = remove_small_boxes
+
+    # BoxCoder.decode: the Detectron formula
+    # (maskrcnn_benchmark/modeling/box_coder.py) with TO_REMOVE=1 box sides,
+    # dw/dh clamped at log(1000/16), and the -1 on the far corner
+    box_coder_mod = sys.modules["maskrcnn_benchmark.modeling.box_coder"]
+    BoxCoder = box_coder_mod.BoxCoder
+    if not hasattr(BoxCoder, "decode"):
+        import math as _math
+
+        def _bc_init(self, weights, bbox_xform_clip=_math.log(1000.0 / 16)):
+            self.weights = weights
+            self.bbox_xform_clip = bbox_xform_clip
+
+        def _bc_decode(self, rel_codes, boxes):
+            boxes = boxes.to(rel_codes.dtype)
+            widths = boxes[:, 2] - boxes[:, 0] + 1
+            heights = boxes[:, 3] - boxes[:, 1] + 1
+            ctr_x = boxes[:, 0] + 0.5 * widths
+            ctr_y = boxes[:, 1] + 0.5 * heights
+            wx, wy, ww, wh = self.weights
+            dx = rel_codes[:, 0::4] / wx
+            dy = rel_codes[:, 1::4] / wy
+            dw = torch.clamp(rel_codes[:, 2::4] / ww, max=self.bbox_xform_clip)
+            dh = torch.clamp(rel_codes[:, 3::4] / wh, max=self.bbox_xform_clip)
+            pred_ctr_x = dx * widths[:, None] + ctr_x[:, None]
+            pred_ctr_y = dy * heights[:, None] + ctr_y[:, None]
+            pred_w = torch.exp(dw) * widths[:, None]
+            pred_h = torch.exp(dh) * heights[:, None]
+            out = torch.zeros_like(rel_codes)
+            out[:, 0::4] = pred_ctr_x - 0.5 * pred_w
+            out[:, 1::4] = pred_ctr_y - 0.5 * pred_h
+            out[:, 2::4] = pred_ctr_x + 0.5 * pred_w - 1
+            out[:, 3::4] = pred_ctr_y + 0.5 * pred_h - 1
+            return out
+
+        BoxCoder.__init__ = _bc_init
+        BoxCoder.decode = _bc_decode
+
+    if "maskrcnn_benchmark.modeling.utils" not in sys.modules:
+        mu = types.ModuleType("maskrcnn_benchmark.modeling.utils")
+        mu.cat = lambda tensors, dim=0: (
+            tensors[0] if len(tensors) == 1 else torch.cat(tensors, dim)
+        )
+        sys.modules["maskrcnn_benchmark.modeling.utils"] = mu
+
+
+def load_rpn_postprocessor_module():
+    """The literal ``modeling/rpn/inference.py`` (RPNPostProcessor), in a
+    package whose __path__ points at the real rpn dir so ``from .utils
+    import permute_and_flatten`` resolves to the REAL utils.py."""
+    install_postprocess_stubs()
+    name = "ref_rpn_infpkg.inference"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_rpn_infpkg", reference_path(_RPN_DIR))
+    return load_reference_module(_RPN_DIR + "/inference.py", name)
+
+
+def load_online_det_postprocessor_module():
+    """The literal ``OnlineDetectionPostProcessor.py`` with its REAL
+    PostProcessor parent (``box_head/inference.py``) and the REAL
+    ``py_od_utils.decode_boxes_detector``."""
+    install_postprocess_stubs()
+    parent = "mrcnn_modified.modeling.roi_heads.box_head.inference"
+    if parent not in sys.modules:
+        for p in (
+            "mrcnn_modified.modeling.roi_heads",
+            "mrcnn_modified.modeling.roi_heads.box_head",
+        ):
+            _ensure_module(p)
+        load_reference_module(_ROI_DIR + "/box_head/inference.py", parent)
+    name = "ref_inference.online_det_postprocessor"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_inference")
+    return load_reference_module(
+        "src/modules/accuracy-evaluator/OnlineDetectionPostProcessor.py",
+        name,
+        ("src",),
+    )
+
+
 @contextlib.contextmanager
 def deterministic_torch_sampling(index_fn=None):
     """Replace torch.randint/randperm with a deterministic index scheme.
