@@ -361,6 +361,19 @@ def main():
                  tflops=round(ips * infer_gflops / 1e3, 1),
                  mfu=round(F.mfu(ips * infer_gflops * 1e9), 3))
 
+            # batch-1 serving latency: the reference's own operating point
+            # (TEST.IMS_PER_BATCH: 1 in every experiment config) — the
+            # number a latency-sensitive deployment compares first.
+            if _remaining(deadline) > 150:
+                try:
+                    ips1 = run_inference_batch(1)
+                    emit("inference_latency_600px_b1", 1e3 / ips1, "ms",
+                         batch=1,
+                         mfu=round(F.mfu(ips1 * infer_gflops * 1e9), 3))
+                except Exception as e:
+                    print(f"# bench: batch-1 latency failed: {e!r}",
+                          file=sys.stderr)
+
             # batch-knee sweep (VERDICT round 1, missing #6): where does the
             # imgs/s curve flatten? Each extra batch size costs one compile.
             for b_sweep in (16, 32):
