@@ -207,10 +207,6 @@ def harvest_rpn(
     a_cls = cfg.num_anchor_classes
     h, w, ch = t.shape
     feats_flat = t.reshape(h * w, ch)
-    n_anc = anchors.shape[0]
-    anchor_cls = jnp.arange(n_anc) % a_cls
-    anchor_loc = jnp.arange(n_anc) // a_cls  # row into feats_flat
-
     iou = box_ops.box_iou(gt_boxes, anchors)  # [G, N]
     iou = jnp.where(gt_valid[:, None], iou, -1.0)
     best_iou = jnp.max(iou, axis=0)
@@ -234,17 +230,30 @@ def harvest_rpn(
 
     keys = jax.random.split(key, a_cls)
 
+    # Per-class sampling on the class's OWN [HW] column instead of a
+    # class-strided mask over the full [HW*A] axis: anchor n <-> (loc = n//A,
+    # cls = n%A), so reshaping to [HW, A] makes column a exactly class a's
+    # pool in the same (loc-ascending = global-ascending) order — identical
+    # picks, but the argsorts inside masked_sample/compact run on HW rows
+    # instead of HW*A (15x less sort work; the sort was the bulk of the
+    # per-image sampling cost on v5e).
+    neg_pool2 = neg_pool.reshape(h * w, a_cls)
+    pos_pool2 = pos_pool.reshape(h * w, a_cls)
+    best_gt2 = best_gt.reshape(h * w, a_cls)
+
     def per_class(a, k):
-        pos_mask = pos_pool & (anchor_cls == a)
-        neg_idx, neg_valid = masked_sample(
-            k, neg_pool & (anchor_cls == a), cfg.negatives_to_pick,
+        neg_loc, neg_valid = masked_sample(
+            k, neg_pool2[:, a], cfg.negatives_to_pick,
             parity=cfg.parity_sampling,
         )
-        pos_idx, pos_valid = compact(pos_mask, cfg.rpn_pos_cap)
-        neg_feats = feats_flat[anchor_loc[neg_idx]]
-        pos_feats = feats_flat[anchor_loc[pos_idx]]
-        targets = box_ops.encode_boxes(gt_boxes[best_gt[pos_idx]], anchors[pos_idx])
-        dropped = jnp.maximum(jnp.sum(pos_mask) - cfg.rpn_pos_cap, 0)
+        pos_loc, pos_valid = compact(pos_pool2[:, a], cfg.rpn_pos_cap)
+        neg_feats = feats_flat[neg_loc]
+        pos_feats = feats_flat[pos_loc]
+        pos_idx = pos_loc * a_cls + a  # global anchor index
+        targets = box_ops.encode_boxes(
+            gt_boxes[best_gt2[pos_loc, a]], anchors[pos_idx]
+        )
+        dropped = jnp.maximum(jnp.sum(pos_pool2[:, a]) - cfg.rpn_pos_cap, 0)
         return neg_feats, neg_valid, pos_feats, pos_valid, targets, dropped
 
     neg, negv, pos, posv, coxy_y, posd = jax.vmap(per_class)(jnp.arange(a_cls), keys)
@@ -459,8 +468,20 @@ def harvest_trunk(
 
     deconv = None
     if with_mask_features:
+        # Recompute res5 on just the G GT rows for the mask head instead of
+        # slicing the full map: a second consumer of ``res5`` forces XLA to
+        # materialize the whole [R, 7, 7, 2048] tensor in HBM (~61 MB/img at
+        # R=308), while the single-consumer form fuses the avg-pool into the
+        # conv chain. The G-row recompute costs ~12 GFLOP (~0.06 ms) and buys
+        # 1.2 ms/img on v5e (measured: trunk 6.75 -> 5.56 ms/img at batch 8).
+        # Convs are row-independent, so this is semantics-preserving (bf16
+        # accumulation order may differ, as it already does across batch
+        # shapes).
         g_cap = gt_boxes.shape[0]
-        deconv = mask_deconv(params["mask_head"], res5[:g_cap])
+        deconv = mask_deconv(
+            params["mask_head"],
+            resnet.res5_feature_map(params["backbone"], pooled[:g_cap]),
+        )
     return t.astype(jnp.float32), prop_boxes, prop_valid, feats, deconv
 
 
