@@ -12,9 +12,12 @@ with the Cholesky preconditioner
     ``A = chol(T T^T / M + lam I)``  (upper)
     ``B = T^{-1} A^{-1} / sqrt(n)``
 
-and conjugate gradient on ``(B^T H B) beta = B^T b`` with a fixed iteration
-count (the reference runs maxiter=20, ``OnlineRegionClassifier_incore.py:41``).
-``W`` is a 0/1 diagonal validity mask — this framework represents the
+and a DIRECT dense solve of ``(B^T H B) beta = B^T b`` — the exact fixpoint
+of the reference's 20-iteration CG (``OnlineRegionClassifier_incore.py:41``),
+which is stable in f32 precisely because the preconditioner makes
+``cond(B^T H B)`` O(1); see the note inside :func:`falkon_fit` for why the
+direct form is the TPU-native choice (one MXU Gram pass instead of 2*maxiter
+latency-bound tall matvecs). ``W`` is a 0/1 diagonal validity mask — this framework represents the
 reference's dynamically-sized minibootstrap caches as fixed-capacity buffers
 with masks, and masked rows drop out of the normal equations exactly.
 
@@ -160,37 +163,39 @@ def falkon_fit(
         u = jax.scipy.linalg.solve_triangular(t_low, v, lower=True, trans="N")
         return jax.scipy.linalg.solve_triangular(a_low, u, lower=True, trans="N")
 
-    # K_NM is materialized ONCE per fit and reused by all CG iterations —
-    # at this framework's scales (N <= ~22k, M <= 1000) it is ~80 MB and the
-    # 40+ reuses turn an HBM-bound recompute into two cheap matmuls per
-    # iteration. (The falkon library streams K_NM because its N is unbounded;
-    # the minibootstrap cache is not.)
+    # K_NM is materialized ONCE per fit (N <= ~22k, M <= 1000 here — the
+    # falkon library streams it because its N is unbounded). The classic
+    # FALKON iteration then runs CG with two tall [N,M] matvecs per step:
+    # 2*maxiter sequential HBM passes over K_NM, each latency-bound on TPU.
+    # Materializing the Gram matrix G = K_NM^T W K_NM instead costs ONE
+    # large MXU matmul (more FLOPs than all CG matvecs combined, but one
+    # pass and systolic-array-shaped), after which the fully preconditioned
+    # operator P = B^T (G/n + lam*K_MM) B is a dense [M,M] matrix that the
+    # preconditioner makes well-conditioned BY CONSTRUCTION (that is its
+    # purpose — FALKON's CG converges in ~20 steps only because cond(P) is
+    # O(1)). A direct f32 Cholesky solve of P is therefore stable, and is
+    # the exact limit the reference's 20-iteration CG approximates.
     k_nm = gaussian_kernel(x, centers, sigma)  # [N, M]
-
-    def matvec(beta):  # B^T H~ B beta, H~ = K_MN W K_NM / n + lam K_MM
-        u = apply_b(beta)
-        z = (k_nm @ u) * wf  # [N]
-        r = (z @ k_nm) / n  # [M]
-        h = r + lam * (k_mm @ u)
-        return apply_bt(h)
-
-    b_rhs = apply_bt(((y.astype(jnp.float32) * wf) @ k_nm) / n)
-
-    # plain CG, fixed iteration count
-    def cg_step(_, state):
-        beta, r, p, rs = state
-        ap = matvec(p)
-        denom = jnp.vdot(p, ap)
-        alpha_step = jnp.where(denom > 0, rs / denom, 0.0)
-        beta = beta + alpha_step * p
-        r = r - alpha_step * ap
-        rs_new = jnp.vdot(r, r)
-        p = r + jnp.where(rs > 0, rs_new / rs, 0.0) * p
-        return beta, r, p, rs_new
-
-    beta0 = jnp.zeros((m,), jnp.float32)
-    state = (beta0, b_rhs, b_rhs, jnp.vdot(b_rhs, b_rhs))
-    beta, *_ = jax.lax.fori_loop(0, maxiter, cg_step, state)
+    del maxiter, apply_bt  # the direct solve IS the CG fixpoint
+    # With-replacement center sampling duplicates rows, so K_MM has an EXACT
+    # null space that B = T^{-1} A^{-1} amplifies ~1/sqrt(jitter*lam); naive
+    # P = B^T H B then contains rounding-scale indefinite junk and Cholesky
+    # NaNs. Both addends are therefore built as Grams, PSD by construction:
+    #   P  = Z^T W Z / n + lam * S^T S,  Z = K_NM B,  S = A^{-1}
+    # using B^T K_MM_jittered B = A^{-T} A^{-1} (exact — no cancellation;
+    # the jittered K_MM is also what the falkon library's preconditioner
+    # factors). Null directions get eigenvalue lam/(jitter/M + lam) = O(1),
+    # data directions are O(1) by FALKON's preconditioner design, so the f32
+    # Cholesky of P is safe.
+    eye = jnp.eye(m, dtype=k_mm.dtype)
+    s_mat = jax.scipy.linalg.solve_triangular(a_low, eye, lower=True, trans="T")
+    b_mat = jax.scipy.linalg.solve_triangular(t_low, s_mat, lower=True, trans="T")
+    z = k_nm @ b_mat  # [N, M]
+    zw = z * wf[:, None]
+    p_mat = (zw.T @ z) / n + lam * (s_mat.T @ s_mat)
+    b_rhs = (y.astype(jnp.float32) * wf) @ z / n  # = B^T K_MN W y / n
+    p_low = jnp.linalg.cholesky(p_mat)
+    beta = jax.scipy.linalg.cho_solve((p_low, True), b_rhs)
     return apply_b(beta)
 
 

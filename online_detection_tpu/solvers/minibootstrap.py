@@ -154,15 +154,100 @@ def _train_one_class(
     return model, exists, trace
 
 
+def _train_one_class_unrolled(
+    key: jax.Array,
+    pos: jax.Array,  # [P, d]
+    pos_valid: jax.Array,  # [P]
+    neg: jax.Array,  # [I, B, d]
+    neg_valid: jax.Array,  # [I, B]
+    stats,
+    params: MinibootstrapParams,
+    fit_fn=_falkon_fit_fn,
+    score_fn=_falkon_score_fn,
+    init_fn=_falkon_init_fn,
+):
+    """The same fixpoint as :func:`_train_one_class`, statically unrolled.
+
+    The scan body must use one static cache shape, so every iteration fits
+    and prunes over all ``P + I*B`` rows even though at iteration ``j`` only
+    the first ``P + (j+1)*B`` can be live — ~43% of the matmul FLOPs at
+    flagship scale (I=10) multiply exact zeros. Unrolling makes ``j`` a
+    Python constant, so each iteration:
+
+    - fits on the static prefix ``[:P + (j+1)*B]`` (masked rows outside the
+      prefix are identically zero-weighted in the scan version, so the
+      normal equations are unchanged);
+    - scores ONE prefix ``[: (j+2)*B]`` per model update, which serves both
+      the easy-prune of current members and the hard-mining of the NEXT
+      block (the scan version pays two passes: the full-buffer prune plus a
+      separate block-mining pass).
+
+    Same PRNG stream, same membership, same model — locked by
+    ``tests/test_minibootstrap.py`` against the scan path, which remains the
+    trace source for the reference-parity suite. Compile cost grows with the
+    unroll (I distinct shapes); production I<=10 keeps it in the tens of
+    seconds once, persistent-cached thereafter.
+    """
+    if stats is not None:
+        from online_detection_tpu.utils.stats import zscore
+
+        pos = zscore(pos, stats) * pos_valid[..., None]
+        neg = zscore(neg, stats) * neg_valid[..., None]
+    p_cap, d = pos.shape
+    n_iter, batch = neg.shape[0], neg.shape[1]
+    n_neg = n_iter * batch
+    neg_flat = neg.reshape(n_neg, d)
+
+    cache_x = jnp.concatenate([pos, neg_flat], axis=0)
+    cache_is_pos = jnp.concatenate(
+        [jnp.ones((p_cap,), bool), jnp.zeros((n_neg,), bool)]
+    )
+    y = jnp.where(cache_is_pos, 1.0, -1.0).astype(jnp.float32)
+
+    model = init_fn(p_cap, d, params)
+    neg_mask = jnp.zeros((0,), bool)  # grows by one block per iteration
+    block_scores = None  # block j scores under model_{j-1}, from the fused pass
+    cache_valid_trace, neg_mask_trace = [], []
+    for j in range(n_iter):
+        if j == 0:
+            hard = neg_valid[0]  # no model yet — everything valid goes in
+        else:
+            hard = neg_valid[j] & (block_scores > params.hard_thresh)
+        neg_mask = jnp.concatenate([neg_mask, hard])
+        live = p_cap + (j + 1) * batch  # static
+
+        cache_valid = jnp.concatenate([pos_valid, neg_mask])
+        model = fit_fn(
+            jax.random.fold_in(key, j), cache_x[:live], y[:live],
+            cache_is_pos[:live], cache_valid, params,
+        )
+        cache_valid_trace.append(
+            jnp.concatenate([cache_valid, jnp.zeros((n_neg - (j + 1) * batch,), bool)])
+        )
+
+        # one scoring pass: prune current members + mine the next block
+        upto = min((j + 2) * batch, n_neg)  # static
+        scores = score_fn(model, neg_flat[:upto], params)
+        neg_mask = neg_mask & (scores[: (j + 1) * batch] >= params.easy_thresh)
+        block_scores = scores[(j + 1) * batch : upto]
+        neg_mask_trace.append(
+            jnp.concatenate([neg_mask, jnp.zeros((n_neg - (j + 1) * batch,), bool)])
+        )
+    exists = (jnp.sum(pos_valid) > 0) & (jnp.sum(neg_valid) > 0)
+    trace = (jnp.stack(cache_valid_trace), jnp.stack(neg_mask_trace))
+    return model, exists, trace
+
+
 # ONE jitted program per (fit, score) pair — production always hits the same
 # cache entry (a fresh jit wrapper per call would recompile the whole
 # minibootstrap graph on every invocation); params determines shapes (m) ->
 # static; sigma stays a Python float on the model so downstream Pallas
 # dispatch keeps it compile-time constant
 @functools.lru_cache(maxsize=None)
-def _make_train_program(fit_fn, score_fn, init_fn):
+def _make_train_program(fit_fn, score_fn, init_fn, unrolled=False):
+    base = _train_one_class_unrolled if unrolled else _train_one_class
     fn = functools.partial(
-        _train_one_class, fit_fn=fit_fn, score_fn=score_fn, init_fn=init_fn
+        base, fit_fn=fit_fn, score_fn=score_fn, init_fn=init_fn
     )
     return jax.jit(
         jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None, None)),
@@ -171,7 +256,9 @@ def _make_train_program(fit_fn, score_fn, init_fn):
 
 
 def _train_all_classes(keys, pos, pos_valid, neg, neg_valid, stats, params):
-    program = _make_train_program(_falkon_fit_fn, _falkon_score_fn, _falkon_init_fn)
+    program = _make_train_program(
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
+    )
     (alpha, centers), exists, _ = program(
         keys, pos, pos_valid, neg, neg_valid, stats, params
     )

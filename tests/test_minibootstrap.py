@@ -109,3 +109,42 @@ def test_class_chunking_matches_full_vmap(rng):
     )
     np.testing.assert_array_equal(np.asarray(chunked.exists),
                                   np.asarray(full.exists))
+
+
+def test_unrolled_matches_scan(rng):
+    """The production (statically-unrolled, prefix-sliced) loop computes the
+    same fixpoint as the scan path: identical cache membership at every
+    iteration and matching models. The prefix slicing only removes rows the
+    scan multiplies by exactly-zero weights, so any difference is reduction-
+    order epsilon."""
+    from online_detection_tpu.solvers.minibootstrap import (
+        _falkon_fit_fn,
+        _falkon_init_fn,
+        _falkon_score_fn,
+        _make_train_program,
+    )
+
+    pos, neg = make_class_problem(rng, n_cls=3, p=24, n_iter=4, batch=48)
+    c = pos.shape[0]
+    pv = jnp.ones(pos.shape[:2], bool)
+    nv = jnp.ones(neg.shape[:3], bool)
+    # knock out some rows so masking paths differ from the all-valid case
+    pv = pv.at[1, 5:].set(False)
+    nv = nv.at[2, 1, 10:].set(False)
+    params = MinibootstrapParams(m=24, sigma=3.0, lam=1e-5)
+    keys = jax.random.split(jax.random.key(7), c)
+
+    scan_prog = _make_train_program(
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=False
+    )
+    unrolled_prog = _make_train_program(
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
+    )
+    (a_s, c_s), ex_s, (cv_s, nm_s) = scan_prog(keys, pos, pv, neg, nv, None, params)
+    (a_u, c_u), ex_u, (cv_u, nm_u) = unrolled_prog(keys, pos, pv, neg, nv, None, params)
+
+    np.testing.assert_array_equal(np.asarray(ex_s), np.asarray(ex_u))
+    np.testing.assert_array_equal(np.asarray(cv_s), np.asarray(cv_u))
+    np.testing.assert_array_equal(np.asarray(nm_s), np.asarray(nm_u))
+    np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_u))
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u), atol=1e-4)
