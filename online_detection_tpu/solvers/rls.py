@@ -185,6 +185,41 @@ def _gram_stats_grouped(x: jax.Array, y: jax.Array, cls1: jax.Array, w: jax.Arra
     return jax.lax.map(per_class, wc.T)
 
 
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def _class_counts(cls1: jax.Array, w: jax.Array, num_classes: int):
+    return (
+        jnp.zeros((num_classes,), jnp.int32)
+        .at[cls1.astype(jnp.int32) - 1]
+        .add((w > 0).astype(jnp.int32), mode="drop")
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes", "cap"))
+def _compact_class_blocks(x, y, cls1, w, num_classes: int, cap: int):
+    """Gather each class's valid rows into fixed [C, cap, ...] blocks.
+
+    One [C*cap, d] gather of data movement buys the block-batched Gram pass
+    (:func:`_gram_stats`) whose FLOPs are ``C * cap * d^2`` instead of the
+    masked shared-buffer pass's ``C * N * d^2`` — each row multiplies into
+    exactly one class's Gram instead of being zero-masked into all C.
+    """
+    cls_i = cls1.astype(jnp.int32)
+    n = x.shape[0]
+    wb = w > 0
+
+    def per_class(c):
+        m = wb & (cls_i == c + 1)
+        order = jnp.argsort(~m, stable=True)
+        idx = order[jnp.minimum(jnp.arange(cap), n - 1)]
+        valid = jnp.arange(cap) < jnp.minimum(jnp.sum(m), cap)
+        return x[idx], y[idx], valid
+
+    return jax.vmap(per_class)(jnp.arange(num_classes))
+
+
+_BLOCK_BYTES_LIMIT = 2 * 1024**3  # skip compaction when blocks would not pay
+
+
 def rls_fit_grouped(
     x: jax.Array,  # [N, d] shared rows
     y: jax.Array,  # [N, 4]
@@ -200,7 +235,12 @@ def rls_fit_grouped(
     and solve in host float64 (the reference's numerics). ``device_solve=
     True``: solve on device in f32 — trades the reference's f64 for zero
     Gram transfer, which wins on thin host<->device links; the 4x4 whitening
-    still runs in host f64 from KB-scale moments.
+    still runs in host f64 from KB-scale moments. The device path first
+    compacts rows into per-class blocks (each row belongs to exactly one
+    class, so masking the WHOLE buffer per class does C-fold redundant Gram
+    FLOPs); when one class hogs the buffer the blocks stop paying and it
+    falls back to the masked pass. The per-class moments are identical
+    either way (row permutation only).
     """
     if not device_solve:
         stats = jax.device_get(
@@ -208,35 +248,62 @@ def rls_fit_grouped(
         )
         return _solve_from_stats(*stats, lam)
 
-    g, b, sum_y, yty, n = _gram_stats_grouped(x, y, cls1, w, num_classes)
-    # whitening from tiny moments (host f64)
-    sum_y_h, yty_h, n_h = jax.device_get((sum_y, yty, n))
-    c = g.shape[0]
-    t_all = np.zeros((c, 4, 4))
-    t_inv_all = np.zeros((c, 4, 4))
-    mu_all = np.zeros((c, 4))
-    exists = np.zeros((c,), bool)
-    for i in range(c):
-        ni = float(n_h[i])
-        if ni < 1:
-            t_all[i] = np.eye(4)
-            t_inv_all[i] = np.eye(4)
-            continue
-        exists[i] = True
-        mu = sum_y_h[i].astype(np.float64) / ni
-        s = (yty_h[i].astype(np.float64) - ni * np.outer(mu, mu)) / ni
-        dvals, wvecs = np.linalg.eig(s)
-        dvals, wvecs = np.maximum(dvals.real, 0.0), wvecs.real
-        t_all[i] = wvecs @ np.diag(1.0 / np.sqrt(dvals + 0.001)) @ wvecs.T
-        t_inv_all[i] = wvecs @ np.diag(np.sqrt(dvals + 0.001)) @ wvecs.T
-        mu_all[i] = mu
+    stats = None
+    counts = jax.device_get(_class_counts(cls1, w, num_classes))
+    cap = int(counts.max()) if counts.size else 0
+    if cap > 0:
+        # pow2 cap bucket: bounds recompiles across runs with varying counts
+        capb = min(x.shape[0], max(256, 1 << (cap - 1).bit_length()))
+        blk_bytes = num_classes * capb * (x.shape[1] + 4) * 4
+        if blk_bytes <= _BLOCK_BYTES_LIMIT and num_classes * capb < 4 * x.shape[0]:
+            xb, yb, vb = _compact_class_blocks(x, y, cls1, w, num_classes, capb)
+            stats = _gram_stats(xb, yb, vb)
+    if stats is None:
+        stats = _gram_stats_grouped(x, y, cls1, w, num_classes)
+    beta, t_dev, t_inv_dev, mu_dev, exists, mean_losses = _device_solve_from_stats(
+        *stats, jnp.asarray(lam, jnp.float32)
+    )
+    return RLSModel(
+        beta=beta,
+        t_inv=t_inv_dev,
+        t=t_dev,
+        mu=mu_dev,
+        exists=exists,
+        mean_losses=mean_losses,
+    )
 
-    t_dev = jnp.asarray(t_all, jnp.float32)
-    mu_dev = jnp.asarray(mu_all, jnp.float32)
+
+@jax.jit
+def _device_solve_from_stats(g, b, sum_y, yty, n, lam):
+    """Whitening + ridge solve entirely on device, ONE jitted program.
+
+    The earlier formulation pulled the 4x4 moments to host, ran the
+    whitening eig in NumPy, re-uploaded T/mu, and drove the remaining ops
+    eagerly — on the remote-tunnel platform every one of those syncs is a
+    round trip that costs more than the math. Batched f32 ``eigh`` on the
+    symmetric 4x4 covariances replaces the host ``eig`` (same T up to
+    eigenvector sign, which T = W D W^T cancels).
+    """
+    exists = n >= 1.0
+    safe_n = jnp.maximum(n, 1.0)
+    mu = jnp.where(exists[:, None], sum_y / safe_n[:, None], 0.0)
+    s = (yty - n[:, None, None] * (mu[:, :, None] * mu[:, None, :]))
+    s = s / safe_n[:, None, None]
+    s = 0.5 * (s + s.transpose(0, 2, 1))
+    dvals, wvecs = jnp.linalg.eigh(s)
+    # f32-derived Gram noise can leave tiny NEGATIVE eigenvalues on a PSD
+    # covariance -> NaN through sqrt; clip before the +0.001 floor
+    dvals = jnp.maximum(dvals, 0.0)
+    t_dev = (wvecs * (1.0 / jnp.sqrt(dvals + 0.001))[:, None, :]) @ wvecs.transpose(0, 2, 1)
+    t_inv_dev = (wvecs * jnp.sqrt(dvals + 0.001)[:, None, :]) @ wvecs.transpose(0, 2, 1)
+    eye4 = jnp.eye(4, dtype=g.dtype)
+    t_dev = jnp.where(exists[:, None, None], t_dev, eye4)
+    t_inv_dev = jnp.where(exists[:, None, None], t_inv_dev, eye4)
+
     dp1 = g.shape[1]
     sum_x1 = g[:, :, -1]  # [C, d+1]
     bw = jnp.einsum(
-        "cdk,ckl->cdl", b - sum_x1[:, :, None] * mu_dev[:, None, :], t_dev
+        "cdk,ckl->cdl", b - sum_x1[:, :, None] * mu[:, None, :], t_dev
     )
     # Batched Cholesky + two triangular solves. (A batched f32 LU via
     # jnp.linalg.solve compiles ~25x slower on TPU — 193 s vs 7.6 s at
@@ -252,24 +319,14 @@ def rls_fit_grouped(
     # per-class mean losses from the same moments (the reference prints these,
     # ``train_region_refiner.py:80-84``): for whitened targets Yw,
     # mean 0.5(Xw - yw)^2 = 0.5/n (b^T G b - 2 b^T bw + diag(T^T S T))
-    n_dev = jnp.asarray(n_h, jnp.float32)
     q1 = jnp.einsum("cdk,cde,cek->ck", beta, g, beta)
     q2 = jnp.einsum("cdk,cdk->ck", beta, bw)
-    s_c = yty - n_dev[:, None, None] * (mu_dev[:, :, None] * mu_dev[:, None, :])
+    s_c = yty - n[:, None, None] * (mu[:, :, None] * mu[:, None, :])
     st = jnp.einsum("ckl,clm->ckm", s_c, t_dev)
     ywty_diag = jnp.einsum("ckm,ckm->cm", t_dev, st)
-    mean_losses = 0.5 * (q1 - 2.0 * q2 + ywty_diag) / jnp.maximum(n_dev, 1.0)[:, None]
-    mean_losses = jnp.where(
-        jnp.asarray(exists)[:, None], mean_losses, 0.0
-    )
-    return RLSModel(
-        beta=beta,
-        t_inv=jnp.asarray(t_inv_all, jnp.float32),
-        t=t_dev,
-        mu=mu_dev,
-        exists=jnp.asarray(exists),
-        mean_losses=mean_losses,
-    )
+    mean_losses = 0.5 * (q1 - 2.0 * q2 + ywty_diag) / safe_n[:, None]
+    mean_losses = jnp.where(exists[:, None], mean_losses, 0.0)
+    return beta, t_dev, t_inv_dev, mu, exists, mean_losses
 
 
 def rls_predict(model: RLSModel, x: jax.Array) -> jax.Array:

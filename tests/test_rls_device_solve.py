@@ -31,3 +31,33 @@ def test_device_solve_matches_host(rng):
         rtol=5e-2, atol=1e-4,
     )
     assert float(np.asarray(dev.mean_losses).max()) > 0
+
+
+def test_block_compaction_matches_masked_path(rng):
+    """The per-class block fast path is a row permutation of the masked pass:
+    identical moments, same model (up to reduction-order epsilon)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from online_detection_tpu.solvers import rls as R
+
+    n, d, c = 600, 24, 5
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    cls1 = jnp.asarray(rng.integers(1, c + 1, size=(n,)).astype(np.float32))
+    w = jnp.asarray((rng.random(n) > 0.2).astype(np.float32))
+
+    fast = R.rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True)
+    # force the masked fallback by shrinking the block budget
+    orig = R._BLOCK_BYTES_LIMIT
+    R._BLOCK_BYTES_LIMIT = 0
+    try:
+        slow = R.rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True)
+    finally:
+        R._BLOCK_BYTES_LIMIT = orig
+
+    np.testing.assert_array_equal(np.asarray(fast.exists), np.asarray(slow.exists))
+    np.testing.assert_allclose(np.asarray(fast.mu), np.asarray(slow.mu), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fast.beta), np.asarray(slow.beta),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fast.mean_losses),
+                               np.asarray(slow.mean_losses), rtol=2e-3, atol=2e-4)
