@@ -188,12 +188,18 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(fn(params, online, anchors, canv, sizes))
         compile_s = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(args.reps):
-            out = fn(params, online, anchors, canv, sizes)
-        jax.device_get(out)
-        ms = (time.perf_counter() - t0) / args.reps / bsz * 1e3
+        # best-of-3 trials: the chip is shared behind a tunnel; a single
+        # window can absorb unrelated stalls (one raw run read res5 at 16
+        # ms/img where an adjacent run read 3)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.reps):
+                out = fn(params, online, anchors, canv, sizes)
+            jax.device_get(out)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / args.reps / bsz * 1e3
         print(json.dumps({
             "stage": stage, "ms_per_img": round(ms, 2),
             "delta_ms": round(ms - prev_ms, 2),

@@ -198,6 +198,29 @@ static float resize_scale(int w, int h, int min_size, int max_size) {
   return size / mn;
 }
 
+// output-size arithmetic (data/transforms.scaled_size semantics: the
+// reference's torchvision/maskrcnn truncation of the long side).
+static void scaled_size(int w, int h, int min_size, int max_size,
+                        int* sw, int* sh) {
+  int size = min_size;
+  float mx = float(std::max(w, h));
+  float mn = float(std::min(w, h));
+  if (mx / mn * size > max_size)
+    size = int(max_size * mn / mx + 0.5f);
+  if ((w <= h && w == size) || (h <= w && h == size)) {
+    *sw = w;
+    *sh = h;
+    return;
+  }
+  if (w < h) {
+    *sw = size;
+    *sh = int(double(size) * h / w);
+  } else {
+    *sh = size;
+    *sw = int(double(size) * w / h);
+  }
+}
+
 // Decode + resize + pad into a caller-allocated [ch, cw, 3] uint8 canvas.
 // Returns 0 and fills scale/scaled_w/scaled_h on success.
 int odtpu_prepare_canvas(const char* path, uint8_t* canvas, int ch, int cw,
@@ -208,7 +231,8 @@ int odtpu_prepare_canvas(const char* path, uint8_t* canvas, int ch, int cw,
   int rc = odtpu_decode_image(path, &rgb, &w, &h);
   if (rc != 0) return rc;
   float s = resize_scale(w, h, min_size, max_size);
-  int sw = int(w * s + 0.5f), sh = int(h * s + 0.5f);
+  int sw, sh;
+  scaled_size(w, h, min_size, max_size, &sw, &sh);
   std::vector<uint8_t> resized;
   const uint8_t* src = rgb;
   if (sw != w || sh != h) {

@@ -158,6 +158,46 @@ class ICubWorldDataset:
     def get_annotation(self, index: int) -> ImageAnnotation:
         return self.parse_annotation(self.ids[index])
 
+    def harvest_annotation(self, index: int) -> ImageAnnotation:
+        """GT boxes as the reference's HARVEST/eval-model path builds them.
+
+        The reference has TWO XML parsers that disagree: the dataset class
+        (``icubworld.py:215-218``, TO_REMOVE=0 because ``'HO3D' or 'ycbv' in
+        self.root`` is always truthy) feeds the *evaluator*, while the engine
+        (``feature_proposal_extractor.py:165-173``, ``engine/inference.py:
+        195-203``) re-parses the XML for the boxes fed to the *model* —
+        there the inverted condition ``'HO3D' or 'ycbv' not in anno_dir`` is
+        always truthy too, so those boxes get an unconditional -1 shift AND
+        no difficult-filtering (``compute_gts_icwt`` never reads the
+        ``difficult`` node). Harvested positives/COXY and the
+        eval-segm-with-GT-boxes substitution therefore see (xml - 1) boxes
+        of ALL named objects, while mAP matching sees unshifted,
+        difficult-filtered boxes. This method replicates the engine parser.
+        """
+        image_id = self.ids[index]
+        root = ET.parse(self._annopath % image_id).getroot()
+        boxes, labels = [], []
+        for obj in root.findall("object"):
+            name_node = obj.find("name")
+            if name_node is None or name_node.text is None:
+                continue
+            bb = obj.find("bndbox")
+            boxes.append(
+                [float(bb.find(k).text) - 1.0
+                 for k in ("xmin", "ymin", "xmax", "ymax")]
+            )
+            labels.append(self.class_to_ind[name_node.text])
+        size = root.find("size")
+        h, w = int(size.find("height").text), int(size.find("width").text)
+        return ImageAnnotation(
+            image_id=image_id,
+            width=w,
+            height=h,
+            boxes=np.asarray(boxes, np.float32).reshape(-1, 4),
+            labels=np.asarray(labels, np.int32),
+            difficult=np.zeros(len(labels), bool),
+        )
+
     def image_path(self, index: int) -> str:
         """Filesystem path of image ``index`` (native prefetcher input)."""
         return self._imgpath % self.ids[index]

@@ -125,6 +125,15 @@ class YCBVideoDataset:
     def get_annotation(self, index: int) -> ImageAnnotation:
         return self._parse(self.ids[index])
 
+    def harvest_annotation(self, index: int) -> ImageAnnotation:
+        """The BOP path is the one place the reference's harvest-side GT
+        parser (``compute_gts_ycbv``, ``feature_proposal_extractor.py:
+        181-231``) agrees with its eval-side one (``ycb_video.py:190+``):
+        both build ``[x, y, x+w-1, y+h-1]`` boxes with the same skip rules,
+        so harvest == eval here (unlike the XML datasets — see
+        ``ICubWorldDataset.harvest_annotation``)."""
+        return self._parse(self.ids[index])
+
     def image_path(self, index: int) -> str:
         """Filesystem path of image ``index`` (native prefetcher input)."""
         scene, frame = self.ids[index].split()

@@ -30,11 +30,34 @@ def resize_scale(w: int, h: int, min_size: int = 600, max_size: int = 1333) -> f
     return size / mn
 
 
+def scaled_size(w: int, h: int, min_size: int = 600,
+                max_size: int = 1333) -> Tuple[int, int]:
+    """(scaled_w, scaled_h) with the reference's exact output-size
+    arithmetic: both of its resize paths — torchvision ``T.Resize(min)`` in
+    the engines' ``build_transform`` and maskrcnn-benchmark
+    ``Resize.get_size`` in the baseline dataloader — TRUNCATE the long side
+    (``int(size * long / short)``), they don't round. Identical to rounding
+    at the shipped 640x480 datasets; differs by one pixel at sizes where
+    ``size * long / short`` has fractional part >= 0.5 (and one conv canvas
+    pixel changes every downstream activation). Box coordinates still scale
+    with the scalar ``resize_scale`` ratio: the reference resizes boxes with
+    per-axis ratios (scaled/orig), which differ from the scalar by <1e-3 px
+    only on those same fractional sizes."""
+    size = min_size
+    mx, mn = max(w, h), min(w, h)
+    if mx / mn * size > max_size:
+        size = int(round(max_size * mn / mx))
+    if (w <= h and w == size) or (h <= w and h == size):
+        return w, h
+    if w < h:
+        return size, int(size * h / w)
+    return int(size * w / h), size
+
+
 def canvas_size(w: int, h: int, min_size: int = 600, max_size: int = 1333,
                 divisibility: int = 32) -> Tuple[int, int]:
     """(canvas_h, canvas_w) for a raw image size — scaled then ceil to /32."""
-    s = resize_scale(w, h, min_size, max_size)
-    sw, sh = int(round(w * s)), int(round(h * s))
+    sw, sh = scaled_size(w, h, min_size, max_size)
     pad = lambda v: (v + divisibility - 1) // divisibility * divisibility
     return pad(sh), pad(sw)
 
@@ -49,7 +72,7 @@ def preprocess_image(
     (scaled_w, scaled_h))."""
     h, w = rgb.shape[:2]
     s = resize_scale(w, h, min_size, max_size)
-    sw, sh = int(round(w * s)), int(round(h * s))
+    sw, sh = scaled_size(w, h, min_size, max_size)
     if (sw, sh) != (w, h):
         try:
             import PIL.Image as PILImage
@@ -81,7 +104,7 @@ def preprocess_image_u8(
     dev chips and non-negligible even on PCIe."""
     h, w = rgb.shape[:2]
     s = resize_scale(w, h, min_size, max_size)
-    sw, sh = int(round(w * s)), int(round(h * s))
+    sw, sh = scaled_size(w, h, min_size, max_size)
     if (sw, sh) != (w, h):
         import PIL.Image as PILImage
 

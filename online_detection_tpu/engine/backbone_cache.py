@@ -73,6 +73,10 @@ class FromFeatDataset:
     def get_annotation(self, index):
         return self.base.get_annotation(index)
 
+    def harvest_annotation(self, index):
+        fn = getattr(self.base, "harvest_annotation", None)
+        return fn(index) if fn else self.base.get_annotation(index)
+
     def load_masks(self, index, anno=None):
         return self.base.load_masks(index, anno)
 

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from online_detection_tpu.data import transforms
+from online_detection_tpu.data.datasets import harvest_annotation
 from online_detection_tpu.engine import device_accumulate as dacc
 from online_detection_tpu.engine.harvest import (
     HarvestConfig,
@@ -265,7 +266,7 @@ def harvest_dataset_device(
 
     def _host_item(loader, i):
         """Decode + GT assembly for one image (all host-side, prefetched)."""
-        anno = dataset.get_annotation(i)
+        anno = harvest_annotation(dataset, i)
         canvas, scale, (sw, sh) = loader.get(i)
         boxes = transforms.scale_boxes(anno.boxes, scale)
         g = len(boxes)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from online_detection_tpu.data.datasets import harvest_annotation
 from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
 from online_detection_tpu.data.evaluation import voc_eval
 from online_detection_tpu.data import transforms
@@ -272,7 +273,7 @@ def harvest_dataset(
     loader_cm = CanvasLoader(dataset, canvas_hw, min_size, max_size)
     with loader_cm as loader:
         for i in range(n_images):
-            anno = dataset.get_annotation(i)
+            anno = harvest_annotation(dataset, i)
             canvas, scale, (sw, sh) = loader.get(i)
             boxes = transforms.scale_boxes(anno.boxes, scale)
             g = len(boxes)
@@ -584,10 +585,17 @@ def run_inference(
             )
             inference_timer.tic()
             if eval_segm_with_gt_bboxes:
+                # the substituted boxes come from the engine-side GT parser
+                # (harvest_annotation: -1-shifted for XML datasets), matching
+                # the reference where compute_gts_* feeds the model while the
+                # evaluator re-reads GT through the dataset class
+                hannos = [harvest_annotation(dataset, i) for i in idxs]
+                while len(hannos) < b:
+                    hannos.append(hannos[-1])
                 gbs = np.zeros((b, gt_cap, 4), np.float32)
                 gls = np.zeros((b, gt_cap), np.int32)
                 gvs = np.zeros((b, gt_cap), bool)
-                for k, (anno, (_, scale, _)) in enumerate(zip(annos, loaded)):
+                for k, (anno, (_, scale, _)) in enumerate(zip(hannos, loaded)):
                     g = min(len(anno.boxes), gt_cap)
                     gbs[k, :g] = transforms.scale_boxes(anno.boxes, scale)[:g]
                     gls[k, :g] = anno.labels[:g]

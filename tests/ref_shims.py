@@ -815,3 +815,114 @@ def deterministic_torch_sampling(index_fn=None):
     finally:
         torch.randint = orig_randint
         torch.randperm = orig_randperm
+
+
+# --------------------------------------------------------------------------
+# Engine/dataset shims: import the LITERAL dataset readers
+# (`data/datasets/icubworld.py`, `ycb_video.py`) and the harvest engine's GT
+# parsers (`engine/feature_proposal_extractor.py` compute_gts_icwt/ycbv).
+# Stubs cover only plumbing those paths never exercise semantically: comm /
+# timer no-ops, a torchvision.transforms stand-in whose ToTensor follows the
+# documented contract (HWC uint8 -> CHW float/255), and inert transform
+# factories referenced by build_transform (never called in these tests).
+
+
+class _StubToTensor:
+    def __call__(self, pic):
+        import numpy as np
+
+        arr = np.asarray(pic)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        t = torch.from_numpy(arr.copy()).permute(2, 0, 1).contiguous()
+        if t.dtype == torch.uint8:
+            t = t.float().div(255)
+        return t
+
+
+def install_engine_stubs():
+    """Everything ``feature_proposal_extractor.py`` and the dataset files
+    import beyond what the harvest stubs already provide."""
+    install_maskrcnn_harvest_stubs()
+    pkg = sys.modules["maskrcnn_benchmark"]
+
+    if "maskrcnn_benchmark.utils.comm" not in sys.modules:
+        utils = _ensure_module("maskrcnn_benchmark.utils")
+        pkg.utils = utils
+        comm = types.ModuleType("maskrcnn_benchmark.utils.comm")
+        comm.get_world_size = lambda: 1
+        comm.is_main_process = lambda: True
+        comm.synchronize = lambda: None
+        comm.all_gather = lambda data: [data]
+        sys.modules["maskrcnn_benchmark.utils.comm"] = comm
+        timer = types.ModuleType("maskrcnn_benchmark.utils.timer")
+
+        class Timer:
+            def __init__(self):
+                self.total_time = 0.0
+
+            def tic(self):
+                pass
+
+            def toc(self):
+                pass
+
+        timer.Timer = Timer
+        timer.get_time_str = lambda s: str(s)
+        sys.modules["maskrcnn_benchmark.utils.timer"] = timer
+
+    if "maskrcnn_benchmark.structures.image_list" not in sys.modules:
+        il = types.ModuleType("maskrcnn_benchmark.structures.image_list")
+        il.to_image_list = lambda tensors, size_divisible=0: tensors
+        sys.modules["maskrcnn_benchmark.structures.image_list"] = il
+
+    if "maskrcnn_benchmark.structures.segmentation_mask" not in sys.modules:
+        sm = types.ModuleType("maskrcnn_benchmark.structures.segmentation_mask")
+
+        class SegmentationMask:
+            def __init__(self, masks, size, mode="mask"):
+                self.masks = masks
+                self.size = size
+                self.mode = mode
+
+        sm.SegmentationMask = SegmentationMask
+        sys.modules["maskrcnn_benchmark.structures.segmentation_mask"] = sm
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        transforms_mod = types.ModuleType("torchvision.transforms")
+        transforms_mod.ToTensor = _StubToTensor
+        for name in ("Lambda", "Normalize", "Compose", "ToPILImage", "Resize"):
+            setattr(transforms_mod, name,
+                    type(name, (), {"__init__": lambda self, *a, **k: None}))
+        tv.transforms = transforms_mod
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = transforms_mod
+
+
+_DATA_DIR = "src/modules/feature-extractor/mrcnn_modified/data/datasets"
+
+
+def load_reference_icubworld_module():
+    install_engine_stubs()
+    return load_reference_module(
+        _DATA_DIR + "/icubworld.py", "ref_datasets.icubworld"
+    )
+
+
+def load_reference_ycbv_module():
+    install_engine_stubs()
+    return load_reference_module(
+        _DATA_DIR + "/ycb_video.py", "ref_datasets.ycb_video"
+    )
+
+
+def load_feature_proposal_extractor_module():
+    """The literal harvest engine (compute_gts_icwt / compute_gts_ycbv and
+    the per-image extraction loop scaffolding)."""
+    install_engine_stubs()
+    return load_reference_module(
+        "src/modules/feature-extractor/mrcnn_modified/engine/"
+        "feature_proposal_extractor.py",
+        "ref_engine.feature_proposal_extractor",
+    )

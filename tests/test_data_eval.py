@@ -28,6 +28,29 @@ def test_resize_and_canvas():
     assert 4000 * s <= 1333 + 4
 
 
+def test_scaled_size_matches_reference_get_size():
+    """Output sizes == maskrcnn-benchmark Resize.get_size (the arithmetic the
+    reference's baseline dataloader uses; torchvision T.Resize, used by the
+    engines' build_transform, is this formula with max_size=None). Note the
+    TRUNCATION of the long side — round() differs at e.g. 613x480."""
+    from online_detection_tpu.data.transforms import scaled_size
+
+    def ref_get_size(w, h, size, max_size):  # transcribed formula
+        if max_size is not None:
+            mn, mx = float(min(w, h)), float(max(w, h))
+            if mx / mn * size > max_size:
+                size = int(round(max_size * mn / mx))
+        if (w <= h and w == size) or (h <= w and h == size):
+            return w, h
+        if w < h:
+            return size, int(size * h / w)
+        return int(size * w / h), size
+
+    for w in range(480, 2000, 31):
+        for h in (480, 607, 641, 1080):
+            assert scaled_size(w, h, 600, 1333) == ref_get_size(w, h, 600, 1333)
+
+
 def test_preprocess_image(rng):
     img = rng.integers(0, 255, (480, 640, 3), dtype=np.uint8)
     canvas, s, (sw, sh) = preprocess_image(img, (608, 800))
