@@ -35,7 +35,7 @@ from online_detection_tpu.models.heads import (
     OnlineMaskModels,
     box_predict,
     mask_deconv,
-    mask_predict,
+    mask_predict_labels,
 )
 from online_detection_tpu.models.postprocess import (
     Detections,
@@ -191,8 +191,9 @@ def detect(
         )
         res5 = resnet.res5_feature_map(params["backbone"], pooled)  # [D,7,7,2048]
         deconv = mask_deconv(params["mask_head"], res5)  # [D,14,14,256]
-        pixel_scores = mask_predict(online.mask, deconv)  # [D,14,14,C+1]
-        mask_probs = select_mask_channel(pixel_scores, dets.labels)
+        # own-class per-pixel FALKON only (== select_mask_channel over the
+        # all-class sweep; see heads.mask_predict_labels)
+        mask_probs = mask_predict_labels(online.mask, deconv, dets.labels)
 
     return dets, mask_probs, prop_boxes, prop_valid
 
@@ -293,9 +294,8 @@ def detect_batched(
             params["backbone"], pooled2.reshape((b * d,) + pooled2.shape[2:])
         )  # [B*D, 7, 7, 2048]
         deconv = mask_deconv(params["mask_head"], res5)
-        pixel_scores = mask_predict(online.mask, deconv)  # [B*D,14,14,C+1]
-        mask_probs = select_mask_channel(
-            pixel_scores, dets.labels.reshape(b * d)
+        mask_probs = mask_predict_labels(
+            online.mask, deconv, dets.labels.reshape(b * d)
         ).reshape(b, d, cfg.pooler_resolution, cfg.pooler_resolution)
 
     return dets, mask_probs, prop_boxes, prop_valid

@@ -115,6 +115,65 @@ def mask_predict(
     return jnp.concatenate([bg, cls], axis=-1)
 
 
+def mask_predict_labels(
+    models: OnlineMaskModels,
+    deconv_feats: jax.Array,  # [R, 14, 14, 256]
+    labels: jax.Array,  # [R] predicted labels (0 = background)
+    roi_chunk: int = 256,
+) -> jax.Array:
+    """[R, 14, 14] sigmoid mask probabilities of each RoI's OWN class.
+
+    Algebraically ``select_mask_channel(mask_predict(feats), labels)``
+    (equivalence unit-tested), but evaluates only the selected per-pixel
+    FALKON classifier per RoI. The fused all-class sweep — which the
+    reference also does (``roi_mask_predictors.py:72-99`` packs every
+    class's Nystrom centers into one mmv, then ``MaskPostProcessor`` keeps
+    one channel per box) — computes C*M kernel columns per pixel and
+    discards all but M of them: at the flagship 21 classes that is 21x the
+    kernel FLOPs and 21x the exp()s (the VPU cost dominates: 1.6e9 exps per
+    batch-8 vs 7.8e7 here). Measured on v5e: mask tail 1.8 -> ~0.4 ms/img.
+
+    ``roi_chunk`` bounds the gathered per-RoI center blocks
+    ([chunk, M, 256]) so HBM stays flat at any detection count.
+    """
+    r, h, w, ch = deconv_feats.shape
+    m = models.falkon.centers.shape[1]
+    sigma = models.falkon.sigma
+    flat = zscore(deconv_feats.reshape(r, h * w, ch), models.stats)
+    cls_idx = jnp.clip(labels.astype(jnp.int32) - 1, 0, None)  # [R]
+
+    def score_chunk(args):
+        f, idx = args  # [c, P, ch], [c]
+        centers = models.falkon.centers[idx]  # [c, M, ch]
+        alpha = models.falkon.alpha[idx]  # [c, M]
+        sq = (
+            jnp.sum(f * f, axis=-1)[:, :, None]
+            + jnp.sum(centers * centers, axis=-1)[:, None, :]
+            - 2.0 * jnp.einsum("cpk,cmk->cpm", f, centers,
+                               preferred_element_type=jnp.float32)
+        )
+        k = jnp.exp(-jnp.maximum(sq, 0.0) / (2.0 * sigma * sigma))
+        return jnp.einsum("cpm,cm->cp", k, alpha,
+                          preferred_element_type=jnp.float32)
+
+    if r <= roi_chunk:
+        scores = score_chunk((flat, cls_idx))  # [R, P]
+    else:
+        pad = (-r) % roi_chunk
+        fp = jnp.pad(flat, ((0, pad), (0, 0), (0, 0)))
+        ip = jnp.pad(cls_idx, (0, pad))
+        n_chunks = (r + pad) // roi_chunk
+        scores = jax.lax.map(
+            score_chunk,
+            (fp.reshape(n_chunks, roi_chunk, h * w, ch),
+             ip.reshape(n_chunks, roi_chunk)),
+        ).reshape(n_chunks * roi_chunk, h * w)[:r]
+
+    selected_exists = models.falkon.exists[cls_idx] & (labels > 0)
+    scores = jnp.where(selected_exists[:, None], scores, BACKGROUND_SCORE)
+    return jax.nn.sigmoid(scores).reshape(r, h, w)
+
+
 def init_mask_head_params(key: jax.Array, in_ch: int = 2048, mid: int = 256, num_classes: int = 22):
     k1, k2 = jax.random.split(key)
     return {

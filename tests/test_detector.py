@@ -160,3 +160,31 @@ def test_detect_batched_gt_mode_matches_vmap(rng):
                          gt_boxes=gb, gt_labels=gl, gt_valid=gv)
     for g, x in zip(jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(want)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(x), rtol=1e-5, atol=1e-5)
+
+
+def test_mask_predict_labels_equals_selected_full_sweep(rng):
+    """The own-class fast path == select_mask_channel over the all-class
+    sweep (the algebraic contract that lets detect() skip 20/21 of the mask
+    kernel FLOPs), including background labels and missing classes."""
+    from online_detection_tpu.models.heads import (
+        OnlineMaskModels,
+        mask_predict,
+        mask_predict_labels,
+    )
+    from online_detection_tpu.models.postprocess import select_mask_channel
+
+    falkon = random_falkon(rng, 4, 8, 256, 10.0)
+    from online_detection_tpu.solvers.falkon import FalkonModel as FM
+    falkon = FM(falkon.centers, falkon.alpha,
+                jnp.asarray([True, True, False, True]), falkon.sigma)
+    models = OnlineMaskModels(falkon=falkon, stats=random_stats(rng, 256))
+    feats = jnp.asarray(rng.normal(size=(7, 14, 14, 256)).astype(np.float32))
+    labels = jnp.asarray([0, 1, 2, 3, 4, 1, 3], jnp.int32)  # 0=bg, 3=missing
+    full = select_mask_channel(mask_predict(models, feats), labels)
+    fast = mask_predict_labels(models, feats, labels)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full),
+                               atol=2e-6, rtol=1e-5)
+    # chunked path (roi_chunk < R) is identical
+    fast_chunked = mask_predict_labels(models, feats, labels, roi_chunk=3)
+    np.testing.assert_allclose(np.asarray(fast_chunked), np.asarray(full),
+                               atol=2e-6, rtol=1e-5)
