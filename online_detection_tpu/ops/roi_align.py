@@ -130,6 +130,129 @@ def roi_align(
     return out.reshape(n_chunks * roi_chunk, pooled_h, pooled_w, -1)[:r]
 
 
+def _interp_matrices(rois, pooled_h, pooled_w, h, w, spatial_scale,
+                     max_samples):
+    """Per-RoI separable interpolation matrices A [R, P, H], B [R, P, W]."""
+
+    def one(roi):
+        x1, y1, x2, y2 = roi[0], roi[1], roi[2], roi[3]
+        start_w = x1 * spatial_scale
+        start_h = y1 * spatial_scale
+        size_w = jnp.maximum(x2 * spatial_scale - start_w, 1.0)
+        size_h = jnp.maximum(y2 * spatial_scale - start_h, 1.0)
+        a = _interp_matrix(start_h, size_h, pooled_h, h, max_samples)
+        b = _interp_matrix(start_w, size_w, pooled_w, w, max_samples)
+        return a, b
+
+    return jax.vmap(one)(rois.astype(jnp.float32))
+
+
+def _fused_pool_kernel(a_ref, b_ref, f_ref, out_ref):
+    """One (batch, channel-tile, roi-tile) program: pooled = A @ F @ B^T with
+    the [rt, H, P, C] intermediate held in VMEM registers — the separable
+    XLA path materializes it in HBM (two dot HLOs can't fuse), which makes
+    RoIAlign HBM-bound (~780 MB/batch-8 at 300 RoIs; measured at the v5e
+    bandwidth ceiling)."""
+    a = a_ref[0]  # [rt, P, H] f32
+    b = b_ref[0]  # [rt, P, W] f32
+    f = f_ref[0]  # [H, W, ct]
+    dt = f.dtype
+    # contract W: [rt, P, W] x [H, W, ct] -> [rt, P, H, ct]
+    t = jax.lax.dot_general(
+        b.astype(dt), f,
+        dimension_numbers=(((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # contract H (batched over rt): [rt, P, H] x [rt, P, H, ct] -> [rt, P, P, ct]
+    out = jax.lax.dot_general(
+        a, t.astype(jnp.float32),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [rt, Pa, Pb, ct] (lhs free Pa, rhs free Pb)
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def roi_align_batched(
+    features: jax.Array,  # [B, H, W, C]
+    rois: jax.Array,  # [B, R, 4]
+    pooled_h: int = 14,
+    pooled_w: int = 14,
+    spatial_scale: float = 1.0 / 16.0,
+    max_samples: int = 8,
+    roi_tile: int = 16,
+    chan_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched RoIAlign -> [B, R, P, P, C] via a fused Pallas kernel —
+    kept as the measured-and-documented EXPLICIT-FUSION VARIANT; the
+    separable XLA path remains the production default.
+
+    Exact same averaged-bilinear semantics as ``roi_align`` (the A/B
+    matrices are shared code; kernel-vs-separable equivalence is
+    unit-tested in interpret mode, and measured bit-exact on v5e). Grid
+    order (b, c, r) keeps the feature block constant along the inner axis
+    so F is DMA'd once per channel tile, eliminating the [R, H, P, C]
+    HBM intermediate. Measured at the production shape ([8, 38, 50, 1024],
+    300 RoIs, bf16) it is nonetheless SLOWER than the separable path
+    (26.8 vs 16.0 ms standalone): the per-RoI second contraction is a
+    batch of M=14 matmuls that Mosaic lowers at ~3% MXU utilization,
+    which costs more than the HBM traffic it saves. Same verdict as the
+    hand Pallas Gaussian-mmv (ops/gaussian_mmv.py): XLA's fusion wins at
+    these shapes; the kernel stays for odd shapes and as the explicit
+    traffic-model baseline. Non-TPU backends without ``interpret`` fall
+    back to the separable path.
+    """
+    bb, h, w, c = features.shape
+    r = rois.shape[1]
+    if not interpret and jax.default_backend() != "tpu":
+        return jax.vmap(
+            lambda f, bx: roi_align(f, bx, pooled_h, pooled_w, spatial_scale,
+                                    max_samples)
+        )(features, rois)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_mats, b_mats = jax.vmap(
+        lambda rr: _interp_matrices(rr, pooled_h, pooled_w, h, w,
+                                    spatial_scale, max_samples)
+    )(rois)  # [B, R, P, H], [B, R, P, W]
+
+    r_pad = (-r) % roi_tile
+    if r_pad:
+        a_mats = jnp.pad(a_mats, ((0, 0), (0, r_pad), (0, 0), (0, 0)))
+        b_mats = jnp.pad(b_mats, ((0, 0), (0, r_pad), (0, 0), (0, 0)))
+    rp = r + r_pad
+    ct = min(chan_tile, c)
+    assert c % ct == 0, "channel count must tile"
+    grid = (bb, c // ct, rp // roi_tile)
+
+    out = pl.pallas_call(
+        _fused_pool_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, roi_tile, pooled_h, h),
+                         lambda b_, c_, r_: (b_, r_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, roi_tile, pooled_w, w),
+                         lambda b_, c_, r_: (b_, r_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, ct), lambda b_, c_, r_: (b_, 0, 0, c_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, roi_tile, pooled_h, pooled_w, ct),
+            lambda b_, c_, r_: (b_, r_, 0, 0, c_),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bb, rp, pooled_h, pooled_w, c), features.dtype
+        ),
+        interpret=interpret,
+    )(a_mats, b_mats, features)
+    return out[:, :r]
+
+
 def roi_align_nchw(
     features: jax.Array,  # [C, H, W]
     rois: jax.Array,

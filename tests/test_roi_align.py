@@ -115,3 +115,27 @@ def test_roi_align_bf16_follows_dtype(rng):
     assert out.dtype == jnp.bfloat16
     scale = np.abs(f32).max()
     np.testing.assert_allclose(np.asarray(out).astype(np.float32), f32, atol=0.03 * scale)
+
+
+def test_fused_pallas_kernel_matches_separable_interpret():
+    """roi_align_batched (Pallas, interpret mode) == vmapped separable path —
+    the equivalence that lets the kernel stand in for the XLA formulation on
+    any backend. (On v5e the match is bit-exact; interpret mode reassociates
+    so tolerance is fp32-eps scale.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from online_detection_tpu.ops.roi_align import roi_align, roi_align_batched
+
+    rng = np.random.default_rng(11)
+    feats = jnp.asarray(rng.normal(size=(2, 18, 24, 256)).astype(np.float32))
+    raw = rng.uniform(0, 350, size=(2, 37, 4)).astype(np.float32)
+    rois = jnp.asarray(
+        np.concatenate([np.minimum(raw[..., :2], raw[..., 2:]),
+                        np.maximum(raw[..., :2], raw[..., 2:])], -1)
+    )
+    ref = jax.vmap(lambda f, b: roi_align(f, b, 14, 14, 1 / 16.0, 8))(feats, rois)
+    fused = roi_align_batched(feats, rois, interpret=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               atol=5e-5, rtol=1e-5)
