@@ -83,6 +83,70 @@ def postprocess_detections(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("score_thresh", "nms_thresh", "detections_per_img", "per_class_cap"),
+)
+def postprocess_detections_standalone(
+    refined_boxes: jax.Array,  # [R, (C+1)*4] — RegionPredictor output, class 0 = raw boxes
+    scores: jax.Array,  # [R, C+1] (col 0 background, fixed -1)
+    valid: jax.Array,  # [R]
+    image_size: Tuple[int, int] | jax.Array,  # (width, height)
+    score_thresh: float = -2.0,
+    nms_thresh: float = 0.3,
+    detections_per_img: int = 100,
+    per_class_cap: int = 100,
+) -> Detections:
+    """The standalone postprocessor for the cached-test_boxes path
+    (``OnlineDetectionPostProcessor_standalone.py:10-103`` +
+    ``AccuracyEvaluator.py:20-43``): boxes arrive ALREADY refined per class
+    (``predict_regions.py:16-80`` layout [R, C+1, 4] flattened, class 0 =
+    the raw example boxes) instead of as deltas.
+
+    Two deliberate differences from ``postprocess_detections`` above, both
+    the reference standalone file's own semantics:
+
+    - clip is ``BoxList.clip_to_image``'s two-sided clamp (the in-model
+      variant uses ``decode_boxes_detector``'s one-sided clamp);
+    - the global cap keeps score TIES at the k-th value (``torch.kthvalue``
+      + ``>=`` keep, ``:97-103``), so more than ``detections_per_img`` rows
+      can survive — the output therefore stays at full [C+1, per_class_cap]
+      capacity with a validity mask rather than compacting to exactly k.
+    """
+    n_cls = scores.shape[1]  # C+1
+    boxes = box_ops.clip_boxes_to_image(refined_boxes, image_size)
+    per_class_boxes = boxes.reshape(-1, n_cls, 4).transpose(1, 0, 2)  # [C+1, R, 4]
+    per_class_scores = scores.T  # [C+1, R]
+    keep = (per_class_scores > score_thresh) & valid[None, :]
+    keep = keep.at[0].set(False)  # background never kept (loop starts at j=1)
+
+    b, s, v, _ = batched_class_nms(
+        per_class_boxes, per_class_scores, keep, nms_thresh, per_class_cap
+    )  # [C+1, cap, ...]
+
+    flat_scores = jnp.where(v, s, NEG_INF).reshape(-1)
+    flat_boxes = b.reshape(-1, 4)
+    labels = jnp.broadcast_to(
+        jnp.arange(n_cls, dtype=jnp.int32)[:, None], (n_cls, per_class_cap)
+    ).reshape(-1)
+
+    survived = flat_scores > NEG_INF / 2
+    if 0 < detections_per_img < flat_scores.shape[0]:
+        n_det = jnp.sum(survived)
+        kth = jax.lax.top_k(flat_scores, detections_per_img)[0][-1]
+        out_valid = survived & jnp.where(
+            n_det > detections_per_img, flat_scores >= kth, True
+        )
+    else:
+        out_valid = survived
+    return Detections(
+        boxes=flat_boxes * out_valid[:, None].astype(flat_boxes.dtype),
+        scores=jnp.where(out_valid, flat_scores, 0.0),
+        labels=jnp.where(out_valid, labels, 0),
+        valid=out_valid,
+    )
+
+
 @jax.jit
 def select_mask_channel(mask_scores: jax.Array, labels: jax.Array) -> jax.Array:
     """[R, 14, 14, C+1] scores + [R] labels -> [R, 14, 14] sigmoid probs

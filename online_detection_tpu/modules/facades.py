@@ -286,3 +286,66 @@ class RegionRefiner(abstract.RegionRefinerAbstract):
             src_size_offset=float(np.spacing(1)),
         )
         return np.asarray(box_ops.clip_boxes_one_sided(decoded, image_size))
+
+
+class AccuracyEvaluatorStandalone:
+    """``accuracy-evaluator/AccuracyEvaluator.py:11-43`` — the STANDALONE
+    evaluator of the cached-test_boxes experiments (``run_experiment_online_
+    rpn_ood.py:204-215``): applies the standalone postprocessor
+    (``OnlineDetectionPostProcessor_standalone.py``) to refined predictions
+    (``testRegionClassifier`` scores + ``RegionPredictor`` boxes) and runs
+    the VOC evaluator on the survivors.
+
+    ``predictions``: per-image dicts with ``boxes`` [N, (C+1)*4] (class 0 =
+    raw boxes, the ``predict_regions.py:74-77`` layout), ``scores``
+    [N, C+1], ``img_size`` (w, h). ``ground_truths``: the voc_eval dicts.
+    """
+
+    def __init__(self, cfg_path=None, output_folder=None):
+        cfg = load_yaml(cfg_path) if cfg_path else {}
+        ev = cfg.get("EVALUATION", {})
+        self.score_thresh = float(ev.get("SCORE_THRESH", -2.0))
+        self.nms = float(ev.get("NMS", 0.3))
+        self.detections_per_img = int(ev.get("DETECTIONS_PER_IMAGE", 100))
+        self.class_names = cfg.get("CHOSEN_CLASSES")
+        self.output_folder = output_folder
+
+    def postprocess(self, predictions):
+        from online_detection_tpu.models.postprocess import (
+            postprocess_detections_standalone,
+        )
+
+        out = []
+        for p in predictions:
+            boxes = np.asarray(p["boxes"], np.float32)
+            scores = np.asarray(p["scores"], np.float32)
+            if boxes.ndim == 3:  # [N, C+1, 4] -> [N, (C+1)*4]
+                boxes = boxes.reshape(boxes.shape[0], -1)
+            dets = postprocess_detections_standalone(
+                jnp.asarray(boxes), jnp.asarray(scores),
+                jnp.ones((boxes.shape[0],), bool), tuple(p["img_size"]),
+                score_thresh=self.score_thresh, nms_thresh=self.nms,
+                detections_per_img=self.detections_per_img,
+            )
+            keep = np.asarray(dets.valid)
+            out.append(
+                {
+                    "boxes": np.asarray(dets.boxes)[keep],
+                    "scores": np.asarray(dets.scores)[keep],
+                    "labels": np.asarray(dets.labels)[keep],
+                }
+            )
+        return out
+
+    def evaluate(self, ground_truths, predictions, iou_thresholds=(0.5,),
+                 use_07_metric=True, class_names=None, **_):
+        from online_detection_tpu.data.evaluation import voc_eval
+
+        names = class_names or self.class_names or [
+            str(i) for i in range(np.asarray(predictions[0]["scores"]).shape[1])
+        ]
+        return voc_eval.evaluate(
+            self.postprocess(predictions), ground_truths, names,
+            iou_thresholds=iou_thresholds, use_07_metric=use_07_metric,
+            output_dir=self.output_folder,
+        )

@@ -786,6 +786,31 @@ def load_online_det_postprocessor_module():
     )
 
 
+def load_online_det_postprocessor_standalone_module():
+    """The literal ``OnlineDetectionPostProcessor_standalone.py`` (the
+    cached-test_boxes postprocessor, ``AccuracyEvaluator.py:8,24-28``) with
+    its REAL PostProcessor parent, under the same stubs as the non-standalone
+    loader."""
+    install_postprocess_stubs()
+    parent = "mrcnn_modified.modeling.roi_heads.box_head.inference"
+    if parent not in sys.modules:
+        for p in (
+            "mrcnn_modified.modeling.roi_heads",
+            "mrcnn_modified.modeling.roi_heads.box_head",
+        ):
+            _ensure_module(p)
+        load_reference_module(_ROI_DIR + "/box_head/inference.py", parent)
+    name = "ref_inference.online_det_postprocessor_standalone"
+    if name in sys.modules:
+        return sys.modules[name]
+    _ensure_module("ref_inference")
+    return load_reference_module(
+        "src/modules/accuracy-evaluator/OnlineDetectionPostProcessor_standalone.py",
+        name,
+        ("src",),
+    )
+
+
 @contextlib.contextmanager
 def deterministic_torch_sampling(index_fn=None):
     """Replace torch.randint/randperm with a deterministic index scheme.

@@ -182,3 +182,77 @@ def test_online_detection_postprocessor_matches_reference(detections_per_img):
     np.testing.assert_allclose(gs, rs, atol=1e-5, rtol=1e-5)
     np.testing.assert_array_equal(gl, rl)
     np.testing.assert_allclose(gb, rb, atol=1e-3, rtol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Standalone (cached-test_boxes) detection postprocessor
+
+
+@pytest.mark.parametrize("detections_per_img", [100, 6])
+def test_standalone_postprocessor_matches_reference(detections_per_img):
+    """``OnlineDetectionPostProcessor_standalone.py:10-103`` (pre-refined
+    per-class boxes, two-sided clip_to_image, strict > thresh, per-class NMS,
+    kthvalue global cap keeping ties) vs
+    ``postprocess_detections_standalone``."""
+    from online_detection_tpu.models.postprocess import (
+        postprocess_detections_standalone,
+    )
+    from tests.ref_shims import load_online_det_postprocessor_standalone_module
+
+    mod = load_online_det_postprocessor_standalone_module()
+    rng = np.random.default_rng(11)
+    n, c = 40, 3  # proposals, foreground classes (num_classes = c + 1)
+    img_w, img_h = 64, 48
+
+    # refined per-class boxes [N, C+1, 4]; some coords beyond the image to
+    # exercise the two-sided clamp on both sides
+    x1 = rng.uniform(-8, img_w - 6, size=(n, c + 1))
+    y1 = rng.uniform(-8, img_h - 6, size=(n, c + 1))
+    bw = rng.uniform(4, 30, size=(n, c + 1))
+    bh = rng.uniform(4, 30, size=(n, c + 1))
+    boxes = np.stack([x1, y1, x1 + bw, y1 + bh], axis=2).astype(np.float32)
+    scores = rng.uniform(-3.0, 1.0, size=(n, c + 1)).astype(np.float32)
+    scores[:, 0] = -1.0  # background column (testRegionClassifier contract)
+
+    with legacy_torch():
+        post = mod.OnlineDetectionPostProcessor(
+            score_thresh=-2.0, nms=0.3,
+            detections_per_img=detections_per_img,
+            cls_agnostic_bbox_reg=False,
+        )
+        bl = _boxlist(boxes.reshape(n, -1), (img_w, img_h))
+        bl.add_field("scores", torch.tensor(scores))
+        [res] = post([bl], c + 1)
+    ref = np.concatenate(
+        [
+            res.bbox.numpy(),
+            res.get_field("scores").numpy()[:, None],
+            res.get_field("labels").numpy().astype(np.float32)[:, None],
+        ],
+        axis=1,
+    )
+
+    dets = postprocess_detections_standalone(
+        jnp.asarray(boxes.reshape(n, -1)),
+        jnp.asarray(scores),
+        jnp.ones((n,), bool),
+        (img_w, img_h),
+        score_thresh=-2.0,
+        nms_thresh=0.3,
+        detections_per_img=detections_per_img,
+    )
+    keep = np.asarray(dets.valid)
+    got = np.concatenate(
+        [
+            np.asarray(dets.boxes)[keep],
+            np.asarray(dets.scores)[keep][:, None],
+            np.asarray(dets.labels)[keep].astype(np.float32)[:, None],
+        ],
+        axis=1,
+    )
+    assert got.shape == ref.shape
+    order_g = np.lexsort(got.T)
+    order_r = np.lexsort(ref.T)
+    np.testing.assert_allclose(
+        got[order_g], ref[order_r], rtol=1e-5, atol=1e-5
+    )
