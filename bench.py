@@ -200,18 +200,25 @@ def main():
         ).alpha
 
     measured_heads = []
-    for name, seed, dims, params in head_specs:
-        if _remaining(deadline) < 45:
-            print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
-            continue
-        thunk = head_thunk(seed, dims, params)
-        compile_s, warm_s = timed(thunk)
-        emit(name, warm_s, "s", setup_s=round(compile_s, 2))
-        stage_times[name] = warm_s
-        measured_heads.append((name, seed, dims, params))
-        del thunk  # frees this head's pools before the next stage
 
-    # ---- stage 6: harvest throughput (batched trunk + chunks + reservoirs) ----
+    def run_minibootstrap_stages():
+        # deferred until AFTER the throughput stages: these programs'
+        # ~120 MB unrolled executables take 35-65 s each to ship over the
+        # tunnel even on a cache hit (BASELINE.md), and a slow-link run must
+        # not starve the throughput stages of budget — the headline composes
+        # from whatever lands, with vs_baseline guarded on completeness
+        for name, seed, dims, params in head_specs:
+            if _remaining(deadline) < 45:
+                print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
+                continue
+            thunk = head_thunk(seed, dims, params)
+            compile_s, warm_s = timed(thunk)
+            emit(name, warm_s, "s", setup_s=round(compile_s, 2))
+            stage_times[name] = warm_s
+            measured_heads.append((name, seed, dims, params))
+            del thunk  # frees this head's pools before the next stage
+
+    # ---- stage 3: harvest throughput (batched trunk + chunks + reservoirs) ----
     if _remaining(deadline) <= 120:
         print(f"# bench: skipping throughput stages "
               f"(deadline, {_remaining(deadline):.0f}s left)", file=sys.stderr)
@@ -281,7 +288,12 @@ def main():
             ) / 1e9
             state = harvest_batch(state)  # compile + warm
             jax.device_get(state.n_images)
-            n_batches = 4
+            # 12 batches per trial: at 4, the per-dispatch tunnel round-trip
+            # (~24 ms unpipelined, ~0.5-1.5 ms amortized; measured with a
+            # scalar no-op at reps 1/16/64) still pollutes the per-image
+            # number by ~0.7 ms/img; 12 pipelined dispatches push the
+            # overhead under ~2%
+            n_batches = 12
             # best-of-3 trials: the chip is shared behind a tunnel and a
             # single 4-rep window can absorb unrelated stalls (one run read
             # 92 imgs/s where an isolated probe reads 105)
@@ -299,7 +311,7 @@ def main():
                  mfu=round(F.mfu(ips * harvest_gflops * 1e9), 3))
             del state  # release reservoirs before the inference stage
 
-            # ---- stage 7: batched inference throughput (the serving path) --
+            # ---- inference throughput (the serving path) ----
             from online_detection_tpu.models.heads import (
                 OnlineDetectorModels,
                 OnlineMaskModels,
@@ -403,6 +415,9 @@ def main():
         except Exception as e:  # never let the throughput stage kill the bench
             print(f"# bench: harvest stage failed: {e!r}", file=sys.stderr)
 
+    # ---- stages 4-6: per-head FALKON minibootstrap (deferred; see above) --
+    run_minibootstrap_stages()
+
     # ---- headline: the full on-line training step ----
     complete = len(stage_times) == 5
     headline_done = False
@@ -435,10 +450,12 @@ def main():
                   "falling back to stage sums", file=sys.stderr)
     if not headline_done and stage_times:
         # deadline hit: headline = sum of the measured warm stages (the full
-        # step is their sequential composition)
+        # step is their sequential composition). vs_baseline is only claimed
+        # when ALL 5 stages landed — a partial sum is not the flagship step
+        # and a ratio against it would overstate the speedup.
         dt = sum(stage_times.values())
         emit("online_training_time_flagship_scale", dt, "s",
-             vs_baseline=BASELINE_SECONDS / dt,
+             vs_baseline=(BASELINE_SECONDS / dt) if complete else None,
              estimated_from_stages=sorted(stage_times),
              complete=complete,
              baseline_note="assumed 120s floor (papers say minutes; no "

@@ -32,7 +32,11 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--stages", type=str, default="",
                     help="comma-separated subset of stage names to run")
+    ap.add_argument("--mode", choices=("inference", "harvest"),
+                    default="inference")
     args = ap.parse_args()
+    if args.mode == "harvest":
+        return harvest_ablation(args)
 
     import jax
     import jax.numpy as jnp
@@ -197,6 +201,157 @@ def main():
             out = None
             for _ in range(args.reps):
                 out = fn(params, online, anchors, canv, sizes)
+            jax.device_get(out)
+            best = min(best, time.perf_counter() - t0)
+        ms = best / args.reps / bsz * 1e3
+        print(json.dumps({
+            "stage": stage, "ms_per_img": round(ms, 2),
+            "delta_ms": round(ms - prev_ms, 2),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+        prev_ms = ms
+
+
+def harvest_ablation(args):
+    """Per-stage ablation of the batched HARVEST program pair.
+
+    The production device pipeline dispatches two programs per canvas batch
+    (``_jit_batched_trunk`` then ``_jit_batched_chunks_accumulate``); this
+    times truncated compositions so the deltas isolate the conv trunk, each
+    sampling head (detector / RPN / mask), and the reservoir fold:
+
+        trunk            conv trunk only (backbone..res5 + GT-row deconv)
+        chunks_det       + detector sampling (IoU table, pools, COXY)
+        chunks_det_rpn   + RPN sampling (anchor matching, per-anchor pools)
+        chunks_all       + mask pixel sampling
+        full             + reservoir accumulate scan (the production pair)
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from online_detection_tpu.utils.compile_cache import (
+        default_cache_dir, guard_fingerprint,
+    )
+
+    cache = default_cache_dir()
+    guard_fingerprint(cache)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from online_detection_tpu.engine import device_accumulate as dacc
+    from online_detection_tpu.engine.harvest import (
+        HarvestConfig, harvest_chunks,
+    )
+    from online_detection_tpu.models.anchors import (
+        anchor_visibility, grid_anchors,
+    )
+    from online_detection_tpu.models.detector import (
+        DetectorConfig, init_detector_params,
+    )
+    from online_detection_tpu.pipelines.device_pipeline import (
+        _jit_batched_chunks_accumulate, _jit_batched_trunk,
+    )
+
+    bsz, hh, ww, gt_cap = args.batch, 608, 800, 8
+    dcfg = DetectorConfig()
+    hcfg = HarvestConfig(negatives_to_pick=64, gt_cap=gt_cap)
+    rng = np.random.default_rng(0)
+    params = init_detector_params(jax.random.key(0), 15, 22)
+    anchors = jnp.asarray(grid_anchors(hh // 16, ww // 16))
+    vis = jnp.asarray(
+        np.broadcast_to(
+            anchor_visibility(np.asarray(anchors), (ww, hh)),
+            (bsz, anchors.shape[0]),
+        ).copy()
+    )
+    canv = jnp.asarray(rng.integers(0, 255, (bsz, hh, ww, 3), dtype=np.uint8))
+    sizes = jnp.broadcast_to(jnp.asarray([ww, hh]), (bsz, 2))
+    gb = jnp.asarray(
+        np.tile(np.array([[10, 10, 200, 200]] * gt_cap, np.float32),
+                (bsz, 1, 1))
+    )
+    gl = jnp.ones((bsz, gt_cap), jnp.int32)
+    gv = jnp.ones((bsz, gt_cap), bool)
+    gm = jnp.ones((bsz, gt_cap, 14, 14), jnp.float32)
+    img_valid = jnp.ones((bsz,), bool)
+    keys = jax.random.split(jax.random.key(1), bsz)
+
+    jt = _jit_batched_trunk(dcfg, True, None, "mb")
+
+    def reduce_leaves(out):
+        return sum(
+            x.astype(jnp.float32).sum() for x in jax.tree_util.tree_leaves(out)
+        )
+
+    def chunks_fn(with_rpn, with_mask):
+        def one(k, t, pb, pv, f, dc):
+            return harvest_chunks(
+                k, t, pb, pv, f, dc if with_mask else None, anchors, vis[0],
+                sizes[0], gb[0], gl[0], gv[0], gm[0] if with_mask else None,
+                hcfg, with_rpn=with_rpn,
+            )
+
+        @jax.jit
+        def run(params, canv):
+            tr = jt(params, None, anchors, canv, sizes, gb, gv)
+            out = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, 0))(keys, *tr)
+            return reduce_leaves(out)
+
+        return run
+
+    @jax.jit
+    def trunk_only(params, canv):
+        return reduce_leaves(jt(params, None, anchors, canv, sizes, gb, gv))
+
+    jca = _jit_batched_chunks_accumulate(hcfg, True, 21)
+
+    def make_state():
+        return dacc.init_reservoirs(
+            15, 21, 2000, rpn_pos_cap=1024, det_pos_cap=1024,
+            coxy_cap=8000, mask_cap=16000,
+            chunk_sizes={"npick": 64, "rpn_pos": hcfg.rpn_pos_cap,
+                         "gt_cap": gt_cap, "coxy": hcfg.coxy_cap,
+                         "mask_pix": hcfg.mask_pix_cap},
+            with_rpn=True, with_mask=True,
+        )
+
+    fns = {
+        "trunk": lambda: trunk_only(params, canv),
+        "chunks_det": lambda f=chunks_fn(False, False): f(params, canv),
+        "chunks_det_rpn": lambda f=chunks_fn(True, False): f(params, canv),
+        "chunks_all": lambda f=chunks_fn(True, True): f(params, canv),
+    }
+
+    # full: the production pair; state is donated, so rebuild it per call
+    # OUTSIDE the timed region is impossible — instead thread it like the
+    # bench does (timing includes only the per-batch marginal work).
+    state_holder = {"st": make_state()}
+
+    def full_fn():
+        tr = jt(params, None, anchors, canv, sizes, gb, gv)
+        state_holder["st"] = jca(
+            state_holder["st"], keys, *tr, anchors, vis, sizes, gb, gl, gv,
+            gm, img_valid,
+        )
+        return state_holder["st"].n_images
+
+    fns["full"] = full_fn
+
+    prev_ms = 0.0
+    for stage in ("trunk", "chunks_det", "chunks_det_rpn", "chunks_all",
+                  "full"):
+        if args.stages and stage not in set(args.stages.split(",")):
+            continue
+        fn = fns[stage]
+        t0 = time.perf_counter()
+        jax.device_get(fn())
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(args.reps):
+                out = fn()
             jax.device_get(out)
             best = min(best, time.perf_counter() - t0)
         ms = best / args.reps / bsz * 1e3

@@ -99,8 +99,12 @@ def falkon_det_head_flops(n_rois: int, num_classes: int = 21, m: int = 1000,
     return 2.0 * n_rois * (num_classes * m) * d + 2.0 * n_rois * (d + 1) * 4 * num_classes
 
 
-def falkon_mask_head_flops(n_rois: int, num_classes: int = 21, m: int = 500,
+def falkon_mask_head_flops(n_rois: int, num_classes: int = 1, m: int = 500,
                            d: int = 256, pix: int = 14 * 14) -> float:
+    """Per-pixel FALKON mask scoring. The production program evaluates only
+    each detection's OWN class (``heads.mask_predict_labels``), so the
+    EXECUTED count uses num_classes=1; pass the real class count only for
+    the all-class sweep variant (``heads.mask_predict``)."""
     return 2.0 * n_rois * pix * (num_classes * m) * d
 
 
@@ -114,7 +118,9 @@ def harvest_image_flops(h: int, w: int, n_props: int = 300, n_gt: int = 8,
         backbone_c4_flops(h, w)
         + rpn_conv_flops(h16, w16, num_anchors)
         + roi_align_flops(h16, w16, r)
-        + res5_flops(r)
+        # + the GT-row res5 recompute for the mask head (harvest_trunk keeps
+        # res5 single-consumer so the avg-pool fuses; the G rows run twice)
+        + res5_flops(r + n_gt)
         + mask_deconv_flops(n_gt)
     )
 
@@ -132,7 +138,11 @@ def inference_image_flops(h: int, w: int, n_props: int = 300,
     f += roi_align_flops(h16, w16, n_props) + res5_flops(n_props)
     f += falkon_det_head_flops(n_props, num_classes)
     if with_masks:
-        f += mask_deconv_flops(n_det) + falkon_mask_head_flops(n_det, num_classes)
+        # mask branch as EXECUTED by detect/detect_batched: RoIAlign on the
+        # kept detections + res5 feature map + deconv + own-class-only
+        # per-pixel FALKON (heads.mask_predict_labels)
+        f += roi_align_flops(h16, w16, n_det) + res5_flops(n_det)
+        f += mask_deconv_flops(n_det) + falkon_mask_head_flops(n_det)
     return f
 
 
