@@ -270,7 +270,7 @@ def main():
                 chunk_sizes={"npick": 64, "rpn_pos": hcfg.rpn_pos_cap,
                              "gt_cap": gt_cap, "coxy": hcfg.coxy_cap,
                              "mask_pix": hcfg.mask_pix_cap},
-                with_rpn=True, with_mask=True,
+                with_rpn=True, with_mask=True, batch_size=bsz,
             )
             jt = _jit_batched_trunk(dcfg, True, None, "mb")
             jca = _jit_batched_chunks_accumulate(hcfg, True, 21)

@@ -312,7 +312,7 @@ def harvest_ablation(args):
             chunk_sizes={"npick": 64, "rpn_pos": hcfg.rpn_pos_cap,
                          "gt_cap": gt_cap, "coxy": hcfg.coxy_cap,
                          "mask_pix": hcfg.mask_pix_cap},
-            with_rpn=True, with_mask=True,
+            with_rpn=True, with_mask=True, batch_size=bsz,
         )
 
     fns = {

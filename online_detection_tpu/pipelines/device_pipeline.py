@@ -45,22 +45,28 @@ from online_detection_tpu.utils.stats import zscore
 
 
 def _gate_chunk(chunk, valid):
-    """Zero a padded image's contribution: clear every validity mask and the
-    AR term (batch tails are padded to the static batch size)."""
+    """Zero a padded image's contribution: clear every validity mask, the
+    AR term, and the drop counters (batch tails are padded to the static
+    batch size — a padded duplicate's drops must not be counted)."""
     g = lambda m: m & valid
+    z = lambda x: x * valid.astype(x.dtype)
     rpn = chunk.rpn
     if rpn is not None:
-        rpn = rpn._replace(pos_valid=g(rpn.pos_valid), neg_valid=g(rpn.neg_valid))
+        rpn = rpn._replace(
+            pos_valid=g(rpn.pos_valid), neg_valid=g(rpn.neg_valid),
+            pos_dropped=z(rpn.pos_dropped),
+        )
     det = chunk.det._replace(
         pos_valid=g(chunk.det.pos_valid),
         neg_valid=g(chunk.det.neg_valid),
         coxy_valid=g(chunk.det.coxy_valid),
+        coxy_dropped=z(chunk.det.coxy_dropped),
     )
     mask = chunk.mask
     if mask is not None:
         mask = mask._replace(
             pos_valid=g(mask.pos_valid), neg_valid=g(mask.neg_valid),
-            labels_valid=g(mask.labels_valid),
+            labels_valid=g(mask.labels_valid), dropped=z(mask.dropped),
         )
     ar = jnp.where(valid, chunk.average_recall, 0.0)
     return chunk._replace(rpn=rpn, det=det, mask=mask, average_recall=ar)
@@ -97,12 +103,15 @@ def _jit_batched_trunk(dcfg: DetectorConfig, with_mask_features: bool, mesh,
 @functools.lru_cache(maxsize=None)
 def _jit_batched_chunks_accumulate(hcfg: HarvestConfig, with_rpn: bool,
                                    num_classes: int):
-    """Batched sampling stages + sequential reservoir fold, one dispatch.
+    """Batched sampling stages + whole-batch reservoir fold, one dispatch.
 
-    harvest_chunks is vmapped over the image batch; the reservoir append is
-    inherently sequential (each image's rows land after the previous
-    image's), so the fold is a ``lax.scan`` over the batch axis — still one
-    program, state donated.
+    harvest_chunks is vmapped over the image batch; the reservoir appends
+    are folded by ``dacc.accumulate_batch`` — one stable compaction + one
+    write per pool per batch, bit-identical to the sequential per-image
+    fold (see ``_compact_batch``) but without the B-step kernel-launch
+    serialization that cost ~1.2 ms/img on v5e. Reservoirs must be built
+    with ``init_reservoirs(..., batch_size=B)`` so the scratch margins
+    cover a whole batch's append.
     """
     def _one(k, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm):
         return harvest_chunks(
@@ -118,18 +127,7 @@ def _jit_batched_chunks_accumulate(hcfg: HarvestConfig, with_rpn: bool,
     def _batched(st, keys, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm,
                  img_valid):
         chunks = vchunks(keys, t, pb, pv, f, dc, a, v, sz, gb, gl, gv, gm)
-
-        def body(s, xs):
-            chunk, ok = xs
-            s2 = dacc.accumulate(s, _gate_chunk(chunk, ok), num_classes)
-            # accumulate counts every call; subtract padded images
-            s2 = s2._replace(
-                n_images=s2.n_images - (~ok).astype(jnp.int32)
-            )
-            return s2, None
-
-        st, _ = jax.lax.scan(body, st, (chunks, img_valid))
-        return st
+        return dacc.accumulate_batch(st, chunks, img_valid, num_classes)
 
     return jax.jit(_batched, donate_argnums=(0,))
 
@@ -235,6 +233,13 @@ def harvest_dataset_device(
     anchors = jnp.asarray(grid_anchors(ch // 16, cw // 16))
     neg_cap = cfg.batch_size * cfg.iterations
 
+    from online_detection_tpu.data.loader import CanvasLoader
+
+    b = max(1, batch_size)
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        b = int(np.ceil(b / n_dev)) * n_dev  # batch must tile the mesh
+
     state = dacc.init_reservoirs(
         cfg.num_anchor_classes, cfg.num_classes, neg_cap,
         rpn_pos_cap=cfg.rpn_pos_cap,
@@ -247,14 +252,8 @@ def harvest_dataset_device(
             "coxy": hcfg.coxy_cap, "mask_pix": hcfg.mask_pix_cap,
         },
         with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
+        batch_size=b,
     )
-
-    from online_detection_tpu.data.loader import CanvasLoader
-
-    b = max(1, batch_size)
-    if mesh is not None:
-        n_dev = mesh.devices.size
-        b = int(np.ceil(b / n_dev)) * n_dev  # batch must tile the mesh
     if b >= 16 and dcfg.roi_chunk is None:
         # bound the RoIAlign separable intermediate at large canvas batches
         # (flat vmap OOMs ~16 GB HBM at batch 32; see ops/roi_align.py)

@@ -28,9 +28,11 @@ jax.config.update("jax_compilation_cache_dir", None)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-# Two-tier suite: ``pytest -m fast`` is the driver/CI-budget tier (~75 s on
-# one core: solvers, ops, boxes, eval, configs, reference parity); everything
-# else (CLI smoke, pipelines, mesh, trainers) is marked slow automatically.
+# Two-tier suite: ``pytest -m fast`` is the driver/CI-budget tier (~3.5 min
+# on one core: solvers, ops, boxes, eval, configs, reference parity — the
+# differential parity suites grew the tier); everything else (CLI smoke,
+# pipelines, mesh, trainers) is marked slow automatically. Full suite ~40 min
+# single-core (test_serial_cli alone is ~11 min: two full CNN passes).
 _FAST_MODULES = {
     "test_anchors", "test_boxes", "test_compile_cache", "test_configs",
     "test_data_eval", "test_falkon", "test_gaussian_mmv", "test_minibootstrap",
