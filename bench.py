@@ -362,7 +362,7 @@ def main():
                 vmap OOMs HBM at batch 32."""
                 cv = jnp.tile(canv, (max(1, b // bsz), 1, 1, 1))[:b]
                 sz = jnp.broadcast_to(jnp.asarray([ww, hh]), (b, 2))
-                cfg_b = dcfg if b < 16 else dcfg._replace(roi_chunk=100)
+                cfg_b = dcfg if b < 32 else dcfg._replace(roi_chunk=100)
                 jd = _jit_detect_batched(cfg_b, True, False)
                 out = jd(params, online, anchors, cv, sz)
                 jax.device_get(out[0].scores)  # compile + warm

@@ -65,8 +65,9 @@ class DetectorConfig(NamedTuple):
     detections_per_img: int = 100
     pooler_resolution: int = 14
     pooler_scale: float = 1.0 / 16.0
-    # RoIAlign lax.map chunk (ops/roi_align.py): None = flat vmap (fastest at
-    # image batch <= 8); set ~100 for batch >= 16 to bound the separable
+    # RoIAlign lax.map chunk (ops/roi_align.py): None = flat vmap (fastest
+    # up to image batch 16 - measured 125 vs 114 imgs/s at b16 flat vs
+    # chunk=100); set ~100 for batch >= 32 to bound the separable
     # intermediate (13 GB at batch 32 otherwise -> HBM OOM)
     roi_chunk: Optional[int] = None
     # --normalize_features_regressor_detector (see heads.box_predict)

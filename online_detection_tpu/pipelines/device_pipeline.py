@@ -254,7 +254,7 @@ def harvest_dataset_device(
         with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
         batch_size=b,
     )
-    if b >= 16 and dcfg.roi_chunk is None:
+    if b >= 32 and dcfg.roi_chunk is None:
         # bound the RoIAlign separable intermediate at large canvas batches
         # (flat vmap OOMs ~16 GB HBM at batch 32; see ops/roi_align.py)
         dcfg = dcfg._replace(roi_chunk=100)

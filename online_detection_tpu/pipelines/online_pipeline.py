@@ -551,7 +551,7 @@ def run_inference(
     if mesh is not None:
         n_dev = mesh.devices.size
         b = int(np.ceil(b / n_dev)) * n_dev
-    if b >= 16 and dcfg.roi_chunk is None:
+    if b >= 32 and dcfg.roi_chunk is None:
         # bound the RoIAlign separable intermediate at large canvas batches
         # (flat vmap OOMs ~16 GB HBM at batch 32; see ops/roi_align.py)
         dcfg = dcfg._replace(roi_chunk=100)
