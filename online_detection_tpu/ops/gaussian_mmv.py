@@ -56,12 +56,22 @@ def _sq_norms(x: jax.Array) -> jax.Array:
     return jnp.sum(x * x, axis=-1)
 
 
-def gaussian_kernel(x: jax.Array, c: jax.Array, sigma: float) -> jax.Array:
-    """Dense K(x, c): [N, d] x [M, d] -> [N, M]. For small problems/tests."""
+def gaussian_kernel(
+    x: jax.Array, c: jax.Array, sigma: float, precision=None
+) -> jax.Array:
+    """Dense K(x, c): [N, d] x [M, d] -> [N, M]. For small problems/tests.
+
+    ``precision``: optional ``jax.lax.Precision`` for the distance matmul.
+    The TPU default executes f32 matmuls as single bf16 passes — fine for
+    scoring, but for K_MM (whose Cholesky seeds the FALKON preconditioner)
+    the ~1e-3 entry error can exceed the 1e-6*M jitter and make the matrix
+    indefinite (measured: a -7e-4 eigenvalue on a 256-center problem ->
+    Cholesky NaN). ``falkon_fit`` passes HIGHEST for that one [M, M] kernel.
+    """
     sq = (
         _sq_norms(x)[:, None]
         + _sq_norms(c)[None, :]
-        - 2.0 * x @ c.T
+        - 2.0 * jnp.matmul(x, c.T, precision=precision)
     )
     sq = jnp.maximum(sq, 0.0)
     return jnp.exp(-sq / (2.0 * sigma * sigma))

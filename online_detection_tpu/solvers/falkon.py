@@ -149,7 +149,13 @@ def falkon_fit(
     n = jnp.maximum(jnp.sum(wf), 1.0)
     lam = jnp.asarray(lam, jnp.float32)
 
-    k_mm = gaussian_kernel(centers, centers, sigma)  # [M, M]
+    # K_MM at TRUE f32 matmul precision: the TPU default (single bf16 pass)
+    # leaves ~1e-3 entry errors that can push K_MM + jitter indefinite and
+    # NaN the whole preconditioner (see gaussian_kernel docstring). This is
+    # the cheap [M, M] kernel — the N-scale K_NM below keeps the fast path.
+    k_mm = gaussian_kernel(
+        centers, centers, sigma, precision=jax.lax.Precision.HIGHEST
+    )  # [M, M]
     t_low = jnp.linalg.cholesky(k_mm + EPS_JITTER * m * jnp.eye(m, dtype=k_mm.dtype))
     # T upper with T^T T = K_MM  ->  T = t_low^T
     tt_t = t_low.T @ t_low  # = T T^T
@@ -193,6 +199,10 @@ def falkon_fit(
     z = k_nm @ b_mat  # [N, M]
     zw = z * wf[:, None]
     p_mat = (zw.T @ z) / n + lam * (s_mat.T @ s_mat)
+    # zw and z round independently under the TPU's bf16 matmul passes, so
+    # the data term is only PSD up to rounding asymmetry — symmetrize (the
+    # [M, M] add is free next to the Gram itself)
+    p_mat = 0.5 * (p_mat + p_mat.T)
     b_rhs = (y.astype(jnp.float32) * wf) @ z / n  # = B^T K_MN W y / n
     p_low = jnp.linalg.cholesky(p_mat)
     beta = jax.scipy.linalg.cho_solve((p_low, True), b_rhs)
