@@ -134,3 +134,34 @@ def write_imagesets(out_dir: str, ids, stride: int = 1, name: str = "imageset_tr
     with open(path, "w") as f:
         f.write("\n".join(ids[::stride]) + "\n")
     return path
+
+
+def main(argv=None):
+    """CLI equivalent of running the reference's ``src/ho3d-to-icwt-format.py``
+    (which hardcodes ``$HOME_DIR/Data/datasets`` paths at :11-25)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "--ho3d_root", required=True,
+        help="HO-3D v2 root (containing train/<seq>/{rgb,seg})")
+    parser.add_argument(
+        "--out", required=True,
+        help="output root, e.g. Data/datasets/HO3D_V2_iCWT_format")
+    parser.add_argument(
+        "--imageset_strides", type=int, nargs="*", default=[1],
+        help="also write ImageSets/imageset_train_1_out_of_<s>.txt per stride")
+    args = parser.parse_args(argv)
+
+    train_dir = os.path.join(args.ho3d_root, "train")
+    if not os.path.isdir(train_dir):
+        train_dir = args.ho3d_root
+    ids = convert(train_dir, args.out)
+    for stride in args.imageset_strides:
+        path = write_imagesets(args.out, ids, stride=stride)
+        print(f"wrote {path} ({len(ids[::stride])} ids)")
+    print(f"converted {len(ids)} annotated frames into {args.out}")
+
+
+if __name__ == "__main__":
+    main()
