@@ -25,6 +25,12 @@ def parse_args(argv=None):
     parser.add_argument("--use_backbone_features", action="store_true",
                         help="(from-features mode: backbone never recomputed; "
                         "functionally identical here since the backbone is frozen)")
+    parser.add_argument("--extract_backbone_features", action="store_true",
+                        help="Force (re-)extraction of the cached backbone "
+                        "feature maps before training (reference "
+                        "run_experiment_fine_tuning.py:17,69: extraction runs "
+                        "only when given together with "
+                        "--use_backbone_features)")
     parser.add_argument("--config_file", type=str, default="config_fine_tuning_ycbv.yaml")
     parser.add_argument("--data_root", type=str, default="Data/datasets")
     parser.add_argument("--weights", type=str, default=None)
@@ -92,7 +98,7 @@ def main(argv=None):
         )
 
         feat_dir = os.path.join(output_dir, "features")
-        if not os.path.isdir(feat_dir):
+        if args.extract_backbone_features or not os.path.isdir(feat_dir):
             dump_backbone_features(
                 params, train_ds, output_dir, canvas,
                 extras["min_size_test"], extras["max_size_test"],

@@ -2,13 +2,17 @@
 
 Torch/cv2-free rebuild of the reference's ``src/ho3d-to-icwt-format.py``
 (SURVEY.md §2.1 "Data tooling"): for each HO-3D training sequence, derive the
-object class from the sequence-name table, binarize the rendered ``seg``
-masks (blue channel >= 100 marks the object), resize to 640x480, write the
-binary mask PNG, the VOC-style XML (box = mask extents, xmax/ymax exclusive
-like the reference's ``max+1``), and copy the RGB frame. Layout:
+object class from the sequence-name table, resize the rendered ``seg`` masks
+to 640x480 (cv2-convention bilinear, see ``_resize_bilinear_cv2``), binarize
+(blue channel >= 100 marks the object), write the binary mask PNG, the
+VOC-style XML (box = mask extents, xmax/ymax exclusive like the reference's
+``max+1``), and copy the RGB frame. Layout:
 
     <out>/train/{Images,Annotations,Masks}/<seq>/<frame>.{png,xml,png}
-    <out>/train/ImageSets/imageset_*.txt  (written by ``write_imagesets``)
+    <out>/train/ImageSets/imageset_*.txt
+        (the reference's curated held-out-sequence splits, written by
+        ``write_reference_imagesets``; plus optional naive strides via
+        ``write_imagesets``)
 """
 
 from __future__ import annotations
@@ -37,6 +41,39 @@ SEQUENCE_TO_CLASS: Dict[str, str] = {
     "SMu1": "025_mug", "SMu40": "025_mug", "SMu41": "025_mug", "SMu42": "025_mug",
     "SS1": "004_sugar_box", "SS2": "004_sugar_box", "SS3": "004_sugar_box",
 }
+
+
+def _resize_bilinear_cv2(img: np.ndarray, out_wh) -> np.ndarray:
+    """Bilinear resize with cv2's ``INTER_LINEAR`` coordinate convention
+    (``src = (dst + 0.5) * scale - 0.5``, edge-clamped), in float.
+
+    The reference resizes the seg render with cv2's DEFAULT interpolation
+    (bilinear, ``ho3d-to-icwt-format.py:197``) before thresholding; PIL's
+    BILINEAR applies a triangle filter on downscale and would move mask
+    boundaries by a pixel or two. This reproduces cv2's sampling exactly up
+    to float-vs-fixed-point rounding (cv2 interpolates in 11-bit fixed
+    point), which can flip a boundary pixel only when the interpolated
+    blue channel lands exactly on the threshold. Identity (and bit-exact)
+    when the input is already the target size — the HO-3D v2 release norm.
+    """
+    ow, oh = out_wh
+    h, w = img.shape[:2]
+    if (w, h) == (ow, oh):
+        return img
+    sx, sy = w / ow, h / oh
+    fx = (np.arange(ow) + 0.5) * sx - 0.5
+    fy = (np.arange(oh) + 0.5) * sy - 0.5
+    x0 = np.clip(np.floor(fx).astype(np.int64), 0, w - 1)
+    y0 = np.clip(np.floor(fy).astype(np.int64), 0, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    wx = np.clip(fx - x0, 0.0, 1.0)[None, :, None]
+    wy = np.clip(fy - y0, 0.0, 1.0)[:, None, None]
+    im = img.astype(np.float32)
+    top = im[y0[:, None], x0[None, :]] * (1 - wx) + im[y0[:, None], x1[None, :]] * wx
+    bot = im[y1[:, None], x0[None, :]] * (1 - wx) + im[y1[:, None], x1[None, :]] * wx
+    out = top * (1 - wy) + bot * wy
+    return np.rint(out).clip(0, 255).astype(np.uint8)
 
 
 def _write_xml(path: str, img_name: str, objects):
@@ -93,8 +130,8 @@ def convert(
             os.makedirs(os.path.join(out_train, sub, seq), exist_ok=True)
         for seg_file in sorted(glob.glob(os.path.join(seq_dir, "seg", "*"))):
             name = os.path.splitext(os.path.basename(seg_file))[0]
-            seg = np.asarray(
-                Image.open(seg_file).convert("RGB").resize((640, 480), Image.NEAREST)
+            seg = _resize_bilinear_cv2(
+                np.asarray(Image.open(seg_file).convert("RGB")), (640, 480)
             )
             # the renderer marks the object in the blue channel (cv2 BGR
             # ">= [100,0,0]" == RGB blue channel >= 100)
@@ -136,6 +173,66 @@ def write_imagesets(out_dir: str, ids, stride: int = 1, name: str = "imageset_tr
     return path
 
 
+# The reference's HO-3D experiment splits are CURATED HELD-OUT SEQUENCES
+# shipped as ImageSets files (Data/datasets/HO3D_V2_iCWT_format/train/
+# ImageSets/*.txt in the reference checkout), NOT strides over the full
+# converted id list — a naive frame stride would leak test sequences into
+# the train split. Sequence membership and per-split frame strides below are
+# transcribed from those shipped files (one unseen sequence per object for
+# test; the last train sequence of each object doubles as val):
+_REFERENCE_SPLITS = {
+    # (name, frame stride within each sequence, sequence list)
+    "imageset_train_1_out_of_2": (2, (
+        "ABF10", "ABF11", "ABF12", "ABF13", "BB10", "BB11", "BB12", "BB13",
+        "GPMF10", "GPMF11", "GPMF12", "GPMF13", "GSF10", "GSF11", "GSF12",
+        "GSF13", "MC1", "MC2", "MC4", "MC5", "MDF10", "MDF11", "MDF12",
+        "MDF13", "ShSu10", "ShSu12", "ShSu13", "ShSu14", "SM2", "SM3", "SM4",
+        "SMu1", "SMu40", "SMu41",
+    )),
+    "imageset_train_1_out_of_2_3_seq": (2, (
+        "ABF10", "ABF11", "ABF12", "BB10", "BB11", "BB12", "GPMF10",
+        "GPMF11", "GPMF12", "GSF10", "GSF11", "GSF12", "MC1", "MC2", "MC4",
+        "MDF10", "MDF11", "MDF12", "ShSu10", "ShSu12", "ShSu13", "SM2",
+        "SM3", "SMu1", "SMu40",
+    )),
+    "imageset_val_1_out_of_5": (5, (
+        "ABF13", "BB13", "GPMF13", "GSF13", "MC5", "MDF13", "ShSu14", "SM4",
+        "SMu41",
+    )),
+    "imageset_test_1_out_of_5": (5, (
+        "ABF14", "BB14", "GPMF14", "GSF14", "MC6", "MDF14", "SiS1", "SM5",
+        "SMu42",
+    )),
+}
+
+
+def write_reference_imagesets(out_dir: str, ids):
+    """Emit the reference's four curated ImageSets files from the converted
+    ``<seq>/<frame>`` ids: per split, its hardcoded sequences in
+    case-insensitive order, every Nth frame of each sequence starting at the
+    first (the shipped files' exact layout). Sequences absent from ``ids``
+    (not downloaded/converted) are skipped with a warning so a partial
+    conversion still yields runnable (if smaller) splits."""
+    by_seq: Dict[str, list] = {}
+    for i in ids:
+        seq, _, frame = i.partition("/")
+        by_seq.setdefault(seq, []).append(frame)
+    paths = []
+    for name, (stride, seqs) in _REFERENCE_SPLITS.items():
+        lines = []
+        for seq in sorted(seqs, key=str.lower):
+            if seq not in by_seq:
+                print(f"warning: split {name}: sequence {seq} has no "
+                      "converted frames; skipping it")
+                continue
+            lines += [f"{seq}/{f}" for f in sorted(by_seq[seq])[::stride]]
+        path = os.path.join(out_dir, "train", "ImageSets", f"{name}.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        paths.append((path, len(lines)))
+    return paths
+
+
 def main(argv=None):
     """CLI equivalent of running the reference's ``src/ho3d-to-icwt-format.py``
     (which hardcodes ``$HOME_DIR/Data/datasets`` paths at :11-25)."""
@@ -149,14 +246,24 @@ def main(argv=None):
         "--out", required=True,
         help="output root, e.g. Data/datasets/HO3D_V2_iCWT_format")
     parser.add_argument(
-        "--imageset_strides", type=int, nargs="*", default=[1],
-        help="also write ImageSets/imageset_train_1_out_of_<s>.txt per stride")
+        "--imageset_strides", type=int, nargs="*", default=[],
+        help="ALSO write naive ImageSets/imageset_train_1_out_of_<s>.txt "
+        "strides over every converted frame (the reference experiments use "
+        "the curated splits written by default, not these)")
+    parser.add_argument(
+        "--no_reference_imagesets", action="store_true",
+        help="skip writing the reference's curated "
+        "train/train_3_seq/val/test splits (held-out test sequences: "
+        "ABF14 BB14 GPMF14 GSF14 MC6 MDF14 SiS1 SM5 SMu42)")
     args = parser.parse_args(argv)
 
     train_dir = os.path.join(args.ho3d_root, "train")
     if not os.path.isdir(train_dir):
         train_dir = args.ho3d_root
     ids = convert(train_dir, args.out)
+    if not args.no_reference_imagesets:
+        for path, n in write_reference_imagesets(args.out, ids):
+            print(f"wrote {path} ({n} ids)")
     for stride in args.imageset_strides:
         path = write_imagesets(args.out, ids, stride=stride)
         print(f"wrote {path} ({len(ids[::stride])} ids)")

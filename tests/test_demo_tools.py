@@ -7,7 +7,11 @@ import jax
 import pytest
 
 from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
-from online_detection_tpu.data.ho3d_to_icwt import convert, write_imagesets
+from online_detection_tpu.data.ho3d_to_icwt import (
+    convert,
+    write_imagesets,
+    write_reference_imagesets,
+)
 from online_detection_tpu.models.detector import DetectorConfig, init_detector_params
 from online_detection_tpu.modules.demo import IncrementalTeacher, OnlineSegmentationDemo
 from online_detection_tpu.pipelines.online_pipeline import OnlineTrainConfig
@@ -89,3 +93,73 @@ def test_ho3d_converter(tmp_path, rng):
     assert anno.boxes[0][0] >= 150 and anno.boxes[0][2] <= 370
     masks = ds.load_masks(0, anno)
     assert masks.shape == (1, 480, 640) and masks.max() == 1.0
+
+
+def test_ho3d_reference_imagesets(tmp_path):
+    """The curated held-out-sequence splits match the reference's shipped
+    ImageSets layout: sequence membership (test sequences never in train),
+    per-sequence frame strides from frame 0, case-insensitive sequence
+    order (reference files: Data/datasets/HO3D_V2_iCWT_format/train/
+    ImageSets/*.txt — e.g. ShSu14 sorts before SM4 in val)."""
+    from PIL import Image
+
+    seqs = {"MC1": 8, "MC5": 11, "MC6": 7, "ShSu14": 6, "SM4": 6}
+    for seq, n in seqs.items():
+        src = tmp_path / "HO3D" / "train" / seq
+        (src / "rgb").mkdir(parents=True)
+        (src / "seg").mkdir(parents=True)
+        seg = np.zeros((480, 640, 3), np.uint8)
+        seg[30:60, 40:90, 2] = 255
+        for i in range(n):
+            Image.fromarray(seg).save(src / "seg" / f"{i:04d}.png")
+
+    out = str(tmp_path / "out")
+    ids = convert(str(tmp_path / "HO3D" / "train"), out)
+    paths = dict(
+        (os.path.basename(p), (p, n))
+        for p, n in write_reference_imagesets(out, ids)
+    )
+    read = lambda name: [
+        l for l in open(paths[name][0]).read().splitlines() if l
+    ]
+
+    train = read("imageset_train_1_out_of_2.txt")
+    # train: MC1 + MC5 (+ ShSu14, SM4, SMu41...) at stride 2; NEVER MC6
+    assert [l for l in train if l.startswith("MC1/")] == [
+        f"MC1/{i:04d}" for i in range(0, 8, 2)
+    ]
+    assert any(l.startswith("MC5/") for l in train)
+    assert not any(l.startswith("MC6/") for l in train)
+    test = read("imageset_test_1_out_of_5.txt")
+    assert test == [f"MC6/{i:04d}" for i in range(0, 7, 5)]
+    val = read("imageset_val_1_out_of_5.txt")
+    # case-insensitive sequence order: MC5 < ShSu14 < SM4
+    assert val == (
+        [f"MC5/{i:04d}" for i in range(0, 11, 5)]
+        + ["ShSu14/0000", "ShSu14/0005"]
+        + ["SM4/0000", "SM4/0005"]
+    )
+    # the 3-seq training variant keeps MC1 but drops the 4th sequence MC5
+    train3 = read("imageset_train_1_out_of_2_3_seq.txt")
+    assert any(l.startswith("MC1/") for l in train3)
+    assert not any(l.startswith("MC5/") for l in train3)
+
+
+def test_ho3d_bilinear_resize_matches_cv2_convention():
+    """_resize_bilinear_cv2 reproduces cv2 INTER_LINEAR's center-aligned
+    sampling (identity at same size; exact half-pixel averages on 2x
+    downscale) — the reference thresholds AFTER this resize
+    (ho3d-to-icwt-format.py:197-198)."""
+    from online_detection_tpu.data.ho3d_to_icwt import _resize_bilinear_cv2
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    assert _resize_bilinear_cv2(img, (4, 4)) is img  # identity, bit-exact
+    # 2x downscale: dst(0,0) samples src at (0.5, 0.5) = mean of the 2x2 block
+    small = _resize_bilinear_cv2(img, (2, 2))
+    expect = img.reshape(2, 2, 2, 2, 3).astype(np.float32).mean(axis=(1, 3))
+    np.testing.assert_array_equal(small, np.rint(expect).astype(np.uint8))
+    # 2x upscale of a binary step keeps the step within one pixel
+    step = np.zeros((4, 4, 3), np.uint8)
+    step[:, 2:] = 200
+    big = _resize_bilinear_cv2(step, (8, 8))
+    assert big[0, 3, 2] < 100 <= big[0, 5, 2]
