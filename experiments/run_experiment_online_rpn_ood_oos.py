@@ -48,6 +48,13 @@ def parse_args(argv=None):
                         "TPU-native throughput lever)")
     parser.add_argument("--CPU", action="store_true",
                         help="Run solvers on the CPU platform instead of TPU")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="Train multi-chip: build a 1-D jax.sharding.Mesh "
+                        "over this many devices; the harvest batch axis is "
+                        "data-sharded and every FALKON minibootstrap trains "
+                        "class-sharded (SURVEY.md §2.2). Replaces the "
+                        "reference's vestigial NCCL DDP scaffold "
+                        "(extract_features_rpn_detector.py:41-42,81-86)")
     parser.add_argument("--data_root", type=str, default="Data/datasets",
                         help="Root of the dataset tree (reference layout)")
     parser.add_argument("--weights", type=str, default=None,
@@ -126,8 +133,13 @@ def main(argv=None):
                          extras["min_size_test"], extras["max_size_test"])
 
     total_t0 = time.time()
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from online_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_devices)
     use_device_pipeline = (
-        jax.default_backend() == "tpu"
+        (jax.default_backend() == "tpu" or mesh is not None)
         and not args.save_RPN_detector_segmentation_features
         and not args.load_RPN_detector_segmentation_features
     )
@@ -138,18 +150,27 @@ def main(argv=None):
         # zero-roundtrip path: reservoirs + solvers stay in HBM
         from online_detection_tpu.pipelines import device_pipeline as dpipe
 
+        warm_threads = []
+        if (jax.default_backend() == "tpu" and mesh is None
+                and os.environ.get("ODTPU_WARM_SOLVERS", "1") != "0"):
+            # compile + device-load the solver executables on background
+            # threads while the CNN harvest pass runs (their lazy first-call
+            # load otherwise lands on the training-time critical path)
+            warm_threads = dpipe.warm_solver_programs(train_cfg)
         state, _ = dpipe.harvest_dataset_device(
             jax.random.key(1), params, train_ds, train_cfg, canvas,
             dcfg=det_cfg, output_dir=output_dir,
             min_size=extras["min_size_test"], max_size=extras["max_size_test"],
-            batch_size=args.images_per_batch,
+            batch_size=args.images_per_batch, mesh=mesh,
         )
         extraction_end = time.time()
+        for t in warm_threads:
+            t.join()
         # list form transfers ownership: reservoirs are freed stage-by-stage
         holder = [state]
         del state
         online = dpipe.train_online_modules_device(
-            jax.random.key(2), holder, train_cfg, output_dir
+            jax.random.key(2), holder, train_cfg, output_dir, mesh=mesh
         )
         solver_end = time.time()
         if args.save_RPN_detector_segmentation_models:
@@ -208,7 +229,7 @@ def main(argv=None):
         use_07_metric=extras["use_07_metric"],
         min_size=extras["min_size_test"], max_size=extras["max_size_test"],
         eval_segm_with_gt_bboxes=args.eval_segm_with_gt_bboxes,
-        batch_size=args.images_per_batch,
+        batch_size=args.images_per_batch, mesh=mesh,
     )
     for k, v in results.items():
         if k.endswith("map_0.5") or k.endswith("map_0.7"):

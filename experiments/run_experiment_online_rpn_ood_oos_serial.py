@@ -56,6 +56,10 @@ def parse_args(argv=None):
                         default="config_online_rpn_detection_segmentation_ycbv_serial.yaml")
     parser.add_argument("--minibootstrap_iterations", type=int)
     parser.add_argument("--CPU", action="store_true")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="Shard the class axis of every FALKON "
+                        "minibootstrap over a 1-D device mesh of this size "
+                        "(SURVEY.md §2.2)")
     parser.add_argument("--data_root", type=str, default="Data/datasets")
     parser.add_argument("--weights", type=str, default=None)
     return parser.parse_args(argv)
@@ -102,6 +106,11 @@ def main(argv=None):
     except FileNotFoundError:
         rpn_cfg = train_cfg
 
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from online_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.n_devices)
     output_dir = args.output_dir
     os.makedirs(output_dir, exist_ok=True)
     train_ds = make_dataset(extras["train_datasets"][0], args.data_root)
@@ -140,7 +149,7 @@ def main(argv=None):
                 )
                 rpn_head = h1["rpn"]
             online_rpn = pipe.train_rpn_module(
-                jax.random.key(2), rpn_head, train_cfg, output_dir
+                jax.random.key(2), rpn_head, train_cfg, output_dir, mesh=mesh
             )
             if args.save_RPN_models:
                 ckpt.save_rpn_models(output_dir, online_rpn)
@@ -176,7 +185,7 @@ def main(argv=None):
         online_det = ckpt.load_detector_models(output_dir)
     else:
         online_det = pipe.train_detector_module(
-            jax.random.key(4), harvest2["det"], cfg2, output_dir
+            jax.random.key(4), harvest2["det"], cfg2, output_dir, mesh=mesh
         )
         if args.save_detector_models:
             ckpt.save_detector_models(output_dir, online_det)
@@ -186,7 +195,7 @@ def main(argv=None):
         online_mask = ckpt.load_segmentation_models(output_dir)
     elif cfg2.with_segmentation and harvest2 is not None and "mask" in harvest2:
         online_mask = pipe.train_segmentation_module(
-            jax.random.key(5), harvest2["mask"], cfg2, output_dir
+            jax.random.key(5), harvest2["mask"], cfg2, output_dir, mesh=mesh
         )
         if args.save_segmentation_models:
             ckpt.save_segmentation_models(output_dir, online_mask)

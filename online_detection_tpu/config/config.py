@@ -158,6 +158,17 @@ def build_configs(
         rpn_shuffle_negatives=bool(
             _get(feat_cfg, "MINIBOOTSTRAP.RPN.SHUFFLE_NEGATIVES", False)
         ),
+        # fixed-capacity reservoir sizes (framework extension keys — the
+        # reference's unbounded python lists have no capacity knob; these are
+        # real deployment levers: they bound the HBM working set AND the
+        # solver-program shapes, see docs/SCALING.md "streaming minibootstrap")
+        rpn_pos_cap=int(_get(feat_cfg, "MINIBOOTSTRAP.RPN.POS_CAP", 4096)),
+        det_pos_cap=int(_get(feat_cfg, "MINIBOOTSTRAP.DETECTOR.POS_CAP", 2048)),
+        coxy_cap=int(_get(feat_cfg, "MINIBOOTSTRAP.DETECTOR.COXY_CAP", 30000)),
+        segm_pos_cap=int(_get(feat_cfg, "SEGMENTATION.POS_CAP", 8192)),
+        solver_class_chunk=int(
+            _get(feat_cfg, "MINIBOOTSTRAP.DETECTOR.SOLVER_CLASS_CHUNK", 8)
+        ),
     )
 
     det_cfg = DetectorConfig(

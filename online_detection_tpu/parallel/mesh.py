@@ -30,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from online_detection_tpu.solvers.falkon import FalkonModel
 from online_detection_tpu.solvers.minibootstrap import (
     MinibootstrapParams,
-    _train_one_class,
+    train_classifiers_minibootstrap,
 )
 
 
@@ -64,27 +64,6 @@ def pad_axis(x: jax.Array, multiple: int, axis: int = 0) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_sharded_train(mesh: Mesh, axis_name: str):
-    """Class-sharded minibootstrap program, cached per mesh (a fresh jit per
-    call would recompile)."""
-    cls_sharding = NamedSharding(mesh, P(axis_name))
-
-    def one(k, p, pv, n, nv, prm):
-        (alpha, centers), exists, _trace = _train_one_class(
-            k, p, pv, n, nv, None, prm
-        )
-        return centers, alpha, exists
-
-    fn = jax.vmap(one, in_axes=(0, 0, 0, 0, 0, None))
-    return jax.jit(
-        fn,
-        static_argnums=(5,),
-        in_shardings=(cls_sharding,) * 5,
-        out_shardings=cls_sharding,
-    )
-
-
 def train_classifiers_minibootstrap_sharded(
     key: jax.Array,
     pos: jax.Array,  # [C, P, d]
@@ -94,22 +73,20 @@ def train_classifiers_minibootstrap_sharded(
     params: MinibootstrapParams,
     mesh: Mesh,
     axis_name: str = "mb",
+    stats=None,
+    class_chunk=None,
 ) -> FalkonModel:
     """Class-sharded minibootstrap: each device trains its slice of the
-    classifiers concurrently. The class axis is padded to the mesh size;
+    classifiers concurrently. Thin alias over the PRODUCTION solver's mesh
+    path (``train_classifiers_minibootstrap(mesh=...)``): the sharded
+    program is the same statically-unrolled per-class prefix program as
+    single-device, with optional stats-inside-the-program z-scoring and
+    per-device class chunking. The class axis is padded to the mesh size;
     padded classes have no data and come back with exists=False."""
-    n_dev = mesh.devices.size
-    c = pos.shape[0]
-    posp = pad_axis(pos, n_dev)
-    pvp = pad_axis(pos_valid, n_dev)
-    negp = pad_axis(neg, n_dev)
-    nvp = pad_axis(neg_valid, n_dev)
-    keys = jax.random.split(key, posp.shape[0])
-
-    centers, alpha, exists = _jit_sharded_train(mesh, axis_name)(
-        keys, posp, pvp, negp, nvp, params
+    return train_classifiers_minibootstrap(
+        key, pos, pos_valid, neg, neg_valid, params,
+        stats=stats, class_chunk=class_chunk, mesh=mesh, axis_name=axis_name,
     )
-    return FalkonModel(centers[:c], alpha[:c], exists[:c], params.sigma)
 
 
 def shard_batch(tree, mesh: Mesh, axis_name: str = "mb"):

@@ -158,16 +158,27 @@ def _jit_chunk_split(chunk: int, iterations: int, batch_size: int,
 
 def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
                         iterations: int, batch_size: int,
-                        mode: str, chunk: int):
+                        mode: str, chunk: int, mesh=None,
+                        axis_name: str = "mb"):
     """Minibootstrap a whole head class-chunk-wise: split chunk -> train
     chunk -> release, bounding the HBM working set. The tail chunk is
     handled by sliding the window back (dynamic_slice clamps), retraining a
-    few overlap classes and keeping only the new tail outputs."""
+    few overlap classes and keeping only the new tail outputs.
+
+    With ``mesh`` the class axis of each chunk's training program is sharded
+    over the devices (``train_classifiers_minibootstrap(mesh=...)``), so one
+    chunk trains ``chunk`` classes concurrently across the mesh with the
+    same per-class production program as single-device."""
     from online_detection_tpu.solvers.falkon import FalkonModel
 
     c = pos.shape[0]
     if chunk is None or chunk <= 0:
         chunk = c  # <=0/None disables chunking (full-width vmap)
+    if mesh is not None:
+        # per-device chunking: round the window up to a mesh multiple so
+        # every device trains chunk/n_dev classes per call
+        n_dev = mesh.devices.size
+        chunk = -(-chunk // n_dev) * n_dev
     chunk = min(chunk, c)
     split_fn = _jit_chunk_split(chunk, iterations, batch_size, mode)
     centers_parts, alpha_parts, exists_parts = [], [], []
@@ -182,7 +193,8 @@ def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
         model = train_classifiers_minibootstrap(
             jax.random.fold_in(key, 1000 + lo_eff),
             pos[lo_eff : lo_eff + chunk], pos_valid[lo_eff : lo_eff + chunk],
-            neg, neg_valid, params, stats=stats,
+            neg, neg_valid, params, stats=stats, mesh=mesh,
+            axis_name=axis_name,
         )
         neg = neg_valid = None
         centers_parts.append(model.centers[drop:])
@@ -195,6 +207,75 @@ def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
         jnp.concatenate(exists_parts),
         params.sigma,
     )
+
+
+def solver_program_shapes(cfg: OnlineTrainConfig):
+    """The (C, P, I, B, d) pool shapes of the three head minibootstrap
+    programs that :func:`train_online_modules_device` will execute for this
+    config — the contract between the reservoirs, the chunk splitter, and
+    the solver. Feature dims are architecture constants: 2048-d res5+avgpool
+    detector features (``box_head_getProposals.py:113-115``), 1024-d RPN conv
+    features, 256-d conv5_mask pixel features (SURVEY.md §2.4)."""
+    def chunk(c):
+        ck = cfg.solver_class_chunk
+        return c if not ck or ck <= 0 else min(ck, c)
+
+    seg_iters = max(1, -(-cfg.segm_batch_size * 2 // cfg.segm_batch_size))
+    shapes = {
+        "detector": (
+            chunk(cfg.num_classes), cfg.det_pos_cap, cfg.iterations,
+            cfg.batch_size, 2048,
+            MinibootstrapParams(
+                m=cfg.det_m, sigma=cfg.det_sigma, lam=cfg.det_lam,
+                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh),
+        ),
+    }
+    if cfg.with_rpn:
+        shapes["rpn"] = (
+            chunk(cfg.num_anchor_classes), cfg.rpn_pos_cap, cfg.iterations,
+            cfg.batch_size, 1024,
+            MinibootstrapParams(
+                m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
+                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh),
+        )
+    if cfg.with_segmentation:
+        shapes["segm"] = (
+            chunk(cfg.num_classes), cfg.segm_pos_cap, seg_iters,
+            cfg.segm_batch_size, 256,
+            MinibootstrapParams(
+                m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
+                hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh),
+        )
+    return shapes
+
+
+def warm_solver_programs(cfg: OnlineTrainConfig, background: bool = True):
+    """AOT-compile and device-load the minibootstrap executables that
+    :func:`train_online_modules_device` will run for ``cfg``.
+
+    The flagship unrolled programs serialize to tens of MB and their device
+    upload is LAZY (paid at first execution — ~70-90 s over a thin tunnel
+    link even on a compile-cache hit, BASELINE.md); warming them on
+    background threads while the feature-harvest pass runs takes the load
+    off the training-time critical path. Returns the list of threads
+    (already started) when ``background``, else runs inline.
+    """
+    import threading
+
+    from online_detection_tpu.solvers.minibootstrap import warm_train_program
+
+    threads = []
+    for _name, (c, p, i, b, d, params) in solver_program_shapes(cfg).items():
+        if background:
+            t = threading.Thread(
+                target=warm_train_program, args=(c, p, i, b, d, params),
+                daemon=True,
+            )
+            t.start()
+            threads.append(t)
+        else:
+            warm_train_program(c, p, i, b, d, params)
+    return threads
 
 
 def harvest_dataset_device(
@@ -361,6 +442,8 @@ def train_online_modules_device(
     state,
     cfg: OnlineTrainConfig,
     output_dir: Optional[str] = None,
+    mesh=None,
+    axis_name: str = "mb",
 ) -> OnlineModelSet:
     """Solver stages straight from the HBM reservoirs.
 
@@ -369,6 +452,11 @@ def train_online_modules_device(
     consumes it. At flagship scale (M=1000, 10x2000 pools, 21+15+21 heads)
     the reservoirs plus solver working sets exceed a 16 GB chip unless
     freed stage-by-stage; the CLIs use the list form.
+
+    ``mesh``: optional 1-D device mesh — each head's minibootstrap trains
+    class-sharded across the devices (SURVEY.md §2.2: the class axis is the
+    mesh axis), with the same unrolled production program, stats-inside
+    z-scoring, and per-DEVICE class chunking as single-chip.
     """
     if isinstance(state, list):
         state = state.pop()  # take the only reference
@@ -408,7 +496,7 @@ def train_online_modules_device(
             ),
             stats_rpn, cfg.iterations, cfg.batch_size,
             "shuffle" if cfg.rpn_shuffle_negatives else "interleave",
-            cfg.solver_class_chunk,
+            cfg.solver_class_chunk, mesh=mesh, axis_name=axis_name,
         )
         state = state._replace(rpn_neg=None)
         _write_result(
@@ -510,7 +598,7 @@ def train_online_modules_device(
         ),
         stats_det, cfg.iterations, cfg.batch_size,
         "shuffle" if cfg.shuffle_negatives else "interleave",
-        cfg.solver_class_chunk,
+        cfg.solver_class_chunk, mesh=mesh, axis_name=axis_name,
     )
     pos = pos_valid = det_pos_pool = None
     state = state._replace(det_neg=None, det_pos=None, det_coxy=None)
@@ -545,7 +633,7 @@ def train_online_modules_device(
                 hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
             ),
             stats_seg, seg_iters, cfg.segm_batch_size, "arrival",
-            cfg.solver_class_chunk,
+            cfg.solver_class_chunk, mesh=mesh, axis_name=axis_name,
         )
         state = state._replace(mask_pos=None, mask_neg=None)
         _write_result(

@@ -341,8 +341,12 @@ def train_rpn_module(
     cfg: OnlineTrainConfig,
     output_dir: Optional[str] = None,
     seed: int = 0,
+    mesh=None,
 ) -> OnlineRPNModels:
-    """Stage 2: per-anchor FALKON classifiers + RLS refiners for the O-RPN."""
+    """Stage 2: per-anchor FALKON classifiers + RLS refiners for the O-RPN.
+
+    ``mesh``: optional 1-D device mesh — the anchor-class axis of the
+    minibootstrap is sharded over its devices (SURVEY.md §2.2)."""
     rng = np.random.default_rng(seed)
     stats_rpn = _head_stats(rpn, rng, cfg.pos_fraction_feat_stats)
     t0 = time.time()
@@ -354,6 +358,7 @@ def train_rpn_module(
             m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
             hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
         ),
+        mesh=mesh,
     )
     dt = time.time() - t0
     _write_result(
@@ -386,6 +391,7 @@ def train_detector_module(
     cfg: OnlineTrainConfig,
     output_dir: Optional[str] = None,
     seed: int = 0,
+    mesh=None,
 ) -> OnlineDetectorModels:
     """Stage 3: per-class FALKON classifiers + RLS refiners for the detector."""
     rng = np.random.default_rng(seed)
@@ -423,6 +429,7 @@ def train_detector_module(
             m=cfg.det_m, sigma=cfg.det_sigma, lam=cfg.det_lam,
             hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
         ),
+        mesh=mesh,
     )
     dt = time.time() - t0
     _write_result(
@@ -440,6 +447,7 @@ def train_segmentation_module(
     cfg: OnlineTrainConfig,
     output_dir: Optional[str] = None,
     seed: int = 0,
+    mesh=None,
 ) -> OnlineMaskModels:
     """Stage 4: per-pixel FALKON classifiers for the segmentation head."""
     rng = np.random.default_rng(seed)
@@ -453,6 +461,7 @@ def train_segmentation_module(
             m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
             hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh,
         ),
+        mesh=mesh,
     )
     dt = time.time() - t0
     _write_result(
@@ -470,20 +479,25 @@ def train_online_modules(
     cfg: OnlineTrainConfig,
     output_dir: Optional[str] = None,
     seed: int = 0,
+    mesh=None,
 ) -> OnlineModelSet:
     """Stages 2-4: FALKON + RLS training for every on-line module."""
     k_rpn, k_det, k_seg = jax.random.split(key, 3)
 
     online_rpn = None
     if cfg.with_rpn and "rpn" in harvest:
-        online_rpn = train_rpn_module(k_rpn, harvest["rpn"], cfg, output_dir, seed)
+        online_rpn = train_rpn_module(
+            k_rpn, harvest["rpn"], cfg, output_dir, seed, mesh=mesh
+        )
 
-    online_det = train_detector_module(k_det, harvest["det"], cfg, output_dir, seed)
+    online_det = train_detector_module(
+        k_det, harvest["det"], cfg, output_dir, seed, mesh=mesh
+    )
 
     online_mask = None
     if cfg.with_segmentation and "mask" in harvest:
         online_mask = train_segmentation_module(
-            k_seg, harvest["mask"], cfg, output_dir, seed
+            k_seg, harvest["mask"], cfg, output_dir, seed, mesh=mesh
         )
 
     return OnlineModelSet(rpn=online_rpn, detector=online_det, mask=online_mask)

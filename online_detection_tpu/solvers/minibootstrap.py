@@ -40,7 +40,8 @@ Feature z-scoring (``zScores``: (x - mean) * (20 / mean_norm),
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+import threading
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -255,13 +256,140 @@ def _make_train_program(fit_fn, score_fn, init_fn, unrolled=False):
     )
 
 
-def _train_all_classes(keys, pos, pos_valid, neg, neg_valid, stats, params):
+@functools.lru_cache(maxsize=None)
+def _make_train_program_sharded(mesh, axis_name: str, unrolled: bool = True):
+    """Class-sharded variant of :func:`_make_train_program`: the vmapped
+    class axis of every solver buffer is sharded over a 1-D mesh, so each
+    device trains its slice of the classifiers concurrently with ZERO
+    collectives (the per-class minibootstrap is embarrassingly parallel —
+    SURVEY.md §2.2 "make the class axis a sharded mesh axis"). The per-class
+    program is the PRODUCTION one (statically unrolled prefix, optional
+    stats-inside-the-program z-scoring), not a degraded scan body."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cls = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+    base = _train_one_class_unrolled if unrolled else _train_one_class
+    fn = functools.partial(
+        base, fit_fn=_falkon_fit_fn, score_fn=_falkon_score_fn,
+        init_fn=_falkon_init_fn,
+    )
+    return jax.jit(
+        jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, None, None)),
+        static_argnums=(6,),
+        in_shardings=(cls, cls, cls, cls, cls, repl),
+        out_shardings=cls,
+    )
+
+
+# ---- AOT executable registry ------------------------------------------
+# On a remote/tunneled TPU backend, loading a compiled program onto the
+# device is LAZY (it happens at first execution, not at compile()) and costs
+# executable-bytes / link-bandwidth — the flagship unrolled minibootstrap
+# serializes to ~120 MB and measured 70-90 s to ship at first call even on a
+# persistent-compile-cache HIT (BASELINE.md). ``warm_train_program`` compiles
+# a program for given shapes ahead of time AND forces the device upload with
+# one throwaway zero-input execution, so callers (the bench, or a CLI
+# overlapping solver warm-up with its feature-harvest pass) pay the load off
+# the critical path. ``train_classifiers_minibootstrap`` consults the
+# registry before falling back to the jit path.
+_AOT_PROGRAMS: dict = {}
+_AOT_EXEC_LOCK = threading.Lock()  # serialize throwaway runs (HBM + device)
+
+
+def _aot_signature(args, params):
+    leaves, treedef = jax.tree_util.tree_flatten(args)
+    return (
+        tuple((tuple(l.shape), str(l.dtype)) for l in leaves),
+        treedef,
+        params,
+    )
+
+
+def warm_train_program(
+    c: int,
+    p_cap: int,
+    n_iter: int,
+    batch: int,
+    d: int,
+    params: MinibootstrapParams,
+    with_stats: bool = True,
+    run: bool = True,
+) -> None:
+    """AOT-compile (and, with ``run=True``, load onto the device) the
+    production minibootstrap program for the given pool shapes.
+
+    Thread-safe: meant to run on a background thread while the caller's
+    foreground work (feature harvesting, other benchmarks) proceeds; the
+    one throwaway execution that forces the lazy device upload is serialized
+    behind a lock so concurrent warms don't stack their pool buffers in HBM.
+    """
+    f32 = lambda *s: jax.ShapeDtypeStruct(s, jnp.float32)
+    b8 = lambda *s: jax.ShapeDtypeStruct(s, jnp.bool_)
+    keys_t = jax.ShapeDtypeStruct((c,), jax.random.key(0).dtype)
+    stats_t = None
+    if with_stats:
+        from online_detection_tpu.utils.stats import FeatureStats
+
+        stats_t = FeatureStats(f32(d), f32(d), f32())
+    args = (keys_t, f32(c, p_cap, d), b8(c, p_cap), f32(c, n_iter, batch, d),
+            b8(c, n_iter, batch), stats_t)
+    sig = _aot_signature(args, params)
+    if sig in _AOT_PROGRAMS:
+        return
     program = _make_train_program(
         _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
     )
-    (alpha, centers), exists, _ = program(
-        keys, pos, pos_valid, neg, neg_valid, stats, params
-    )
+    compiled = program.lower(*args, params).compile()
+    if run:
+        with _AOT_EXEC_LOCK:
+            zeros = jax.jit(
+                lambda: (
+                    jax.random.split(jax.random.key(0), c),
+                    jnp.zeros((c, p_cap, d), jnp.float32),
+                    jnp.zeros((c, p_cap), bool),
+                    jnp.zeros((c, n_iter, batch, d), jnp.float32),
+                    jnp.zeros((c, n_iter, batch), bool),
+                )
+            )()
+            stats_z = None
+            if with_stats:
+                from online_detection_tpu.utils.stats import FeatureStats
+
+                stats_z = FeatureStats(
+                    jnp.zeros((d,)), jnp.ones((d,)), jnp.asarray(1.0)
+                )
+            out = compiled(*zeros, stats_z)
+            jax.device_get(out[1])  # force the (lazy) executable upload
+            del zeros, out
+    _AOT_PROGRAMS[sig] = compiled
+
+
+def _train_all_classes(keys, pos, pos_valid, neg, neg_valid, stats, params,
+                       mesh=None, axis_name: str = "mb"):
+    args = (keys, pos, pos_valid, neg, neg_valid, stats)
+    if mesh is None:
+        compiled = _AOT_PROGRAMS.get(_aot_signature(args, params))
+        if compiled is not None:
+            (alpha, centers), exists, _ = compiled(*args)
+            return centers, alpha, exists
+        program = _make_train_program(
+            _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
+        )
+    else:
+        # args may arrive committed to another sharding (e.g. replicated
+        # outputs of the reservoir programs); jit(in_shardings=...) raises on
+        # the mismatch instead of resharding, so place them explicitly —
+        # device_put is a no-op when the sharding already matches
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        cls = NamedSharding(mesh, P(axis_name))
+        repl = NamedSharding(mesh, P())
+        args = tuple(
+            jax.device_put(a, cls) for a in args[:5]
+        ) + (jax.device_put(args[5], repl) if args[5] is not None else None,)
+        program = _make_train_program_sharded(mesh, axis_name, unrolled=True)
+    (alpha, centers), exists, _ = program(*args, params)
     return centers, alpha, exists
 
 
@@ -298,6 +426,8 @@ def train_classifiers_minibootstrap(
     params: MinibootstrapParams,
     stats=None,
     class_chunk=None,
+    mesh=None,
+    axis_name: str = "mb",
 ) -> FalkonModel:
     """Train all C classifiers concurrently. Returns a class-batched model.
 
@@ -313,14 +443,37 @@ def train_classifiers_minibootstrap(
     chip once the feature reservoirs are resident; chunks bound the working
     set while reusing ONE compiled program for every chunk (the tail chunk
     is zero-padded). None = single vmap (small problems, tests).
+
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` — the class axis is sharded
+    over its devices (each trains its slice, zero collectives). The class
+    count (and any ``class_chunk``) is padded up to a mesh multiple; padded
+    classes have no data and come back with exists=False.
     """
     c = pos.shape[0]
-    keys = jax.random.split(key, c)
-    if class_chunk is None or class_chunk >= c:
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if class_chunk is not None and class_chunk > 0:
+            # per-device chunking: each device trains chunk/n_dev classes
+            # per call, so the per-device working set stays bounded exactly
+            # like the single-device chunked path
+            class_chunk = max(1, -(-class_chunk // n_dev)) * n_dev
+        pad_c = (-c) % (class_chunk if class_chunk else n_dev)
+        if pad_c:
+            widths = lambda x: [(0, pad_c)] + [(0, 0)] * (x.ndim - 1)
+            pos = jnp.pad(pos, widths(pos))
+            pos_valid = jnp.pad(pos_valid, widths(pos_valid))
+            neg = jnp.pad(neg, widths(neg))
+            neg_valid = jnp.pad(neg_valid, widths(neg_valid))
+    cp = pos.shape[0]
+    keys = jax.random.split(key, cp)
+    if class_chunk is None or class_chunk >= cp:
         centers, alpha, exists = _train_all_classes(
-            keys, pos, pos_valid, neg, neg_valid, stats, params
+            keys, pos, pos_valid, neg, neg_valid, stats, params,
+            mesh=mesh, axis_name=axis_name,
         )
-        return FalkonModel(centers, alpha, exists, params.sigma)
+        return FalkonModel(
+            centers[:c], alpha[:c], exists[:c], params.sigma
+        )
 
     def pad(x, lo, hi):
         sl = x[lo:hi]
@@ -336,14 +489,15 @@ def train_classifiers_minibootstrap(
         return sl
 
     outs = []
-    for lo in range(0, c, class_chunk):
-        hi = min(lo + class_chunk, c)
+    for lo in range(0, cp, class_chunk):
+        hi = min(lo + class_chunk, cp)
         centers, alpha, exists = _train_all_classes(
             pad_keys(keys, lo, hi), pad(pos, lo, hi), pad(pos_valid, lo, hi),
             pad(neg, lo, hi), pad(neg_valid, lo, hi), stats, params,
+            mesh=mesh, axis_name=axis_name,
         )
         outs.append((centers[: hi - lo], alpha[: hi - lo], exists[: hi - lo]))
     centers = jnp.concatenate([o[0] for o in outs])
     alpha = jnp.concatenate([o[1] for o in outs])
     exists = jnp.concatenate([o[2] for o in outs])
-    return FalkonModel(centers, alpha, exists, params.sigma)
+    return FalkonModel(centers[:c], alpha[:c], exists[:c], params.sigma)

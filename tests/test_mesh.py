@@ -147,3 +147,172 @@ def test_shard_batch_places_batch_axis():
         shards = leaf.addressable_shards
         assert len({s.device.id for s in shards}) == 8
         assert shards[0].data.shape[0] == 2  # 16 rows / 8 devices
+
+
+def test_sharded_solver_production_features(rng):
+    """The production device-pipeline configuration on a mesh — stats-inside-
+    the-program z-scoring + class chunking (rounded up to a mesh multiple) —
+    matches the unsharded solver (VERDICT r2 next-item #5)."""
+    from online_detection_tpu.utils.stats import FeatureStats
+
+    pos, pv, neg, nv = _toy_problem(rng, c=10)
+    stats = FeatureStats(
+        jnp.full((8,), 0.1), jnp.ones((8,)), jnp.asarray(18.0)
+    )
+    key = jax.random.key(3)
+    ref = train_classifiers_minibootstrap(
+        key, pos, pv, neg, nv, PARAMS, stats=stats
+    )
+    got = train_classifiers_minibootstrap(
+        key, pos, pv, neg, nv, PARAMS, stats=stats,
+        mesh=make_mesh(8), class_chunk=4,  # rounds up to one 8-wide chunk
+    )
+    assert got.alpha.shape == ref.alpha.shape == (10, PARAMS.m)
+    np.testing.assert_allclose(
+        _scores(got, np.random.default_rng(11)),
+        _scores(ref, np.random.default_rng(11)),
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_array_equal(np.asarray(got.exists), np.asarray(ref.exists))
+
+
+def test_flagship_cli_n_devices_matches_single_device(tmp_path):
+    """The REAL flagship CLI with --n_devices 8 (class-sharded solvers +
+    batch-sharded harvest/inference on the virtual CPU mesh) trains the same
+    models as the single-device device pipeline (VERDICT r2 next-item #2)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
+    import run_experiment_online_rpn_ood_oos as exp
+
+    from online_detection_tpu.config.config import build_configs, load_yaml
+    from online_detection_tpu.data.datasets.icubworld import ICubWorldDataset
+    from online_detection_tpu.data.transforms import canvas_size
+    from online_detection_tpu.models.detector import init_detector_params
+    from online_detection_tpu.pipelines.device_pipeline import (
+        harvest_dataset_device,
+        train_online_modules_device,
+    )
+    from online_detection_tpu.utils import checkpoint as ckpt
+    from tests.fixtures import make_synthetic_icwt
+
+    # slimmed configs (vs tests.test_experiment_cli's): 5 classes, 96x160
+    # canvas — this test compiles the whole pipeline TWICE (sharded CLI +
+    # single-device reference), so scale matters for the suite budget
+    feat_cfg = """
+MODEL:
+  WEIGHT: ""
+  RPN:
+    PRE_NMS_TOP_N_TEST: 120
+    POST_NMS_TOP_N_TEST: 30
+  MASK_ON: True
+DATASETS:
+  TRAIN: ("path:{root}::train",)
+  TEST: ("path:{root}::test",)
+INPUT:
+  MIN_SIZE_TEST: 96
+  MAX_SIZE_TEST: 160
+MINIBOOTSTRAP:
+  RPN:
+    POS_CAP: 96
+  DETECTOR:
+    NUM_CLASSES: 5
+    ITERATIONS: 2
+    BATCH_SIZE: 48
+    SHUFFLE_NEGATIVES: True
+    POS_CAP: 64
+    COXY_CAP: 512
+SEGMENTATION:
+  BATCH_SIZE: 192
+  POS_CAP: 128
+EVALUATION:
+  IOU_THRESHOLDS: (0.5,)
+  USE_VOC07_METRIC: True
+"""
+    online_cfg = """
+NUM_CLASSES: 6
+ONLINE_REGION_CLASSIFIER:
+  MINIBOOTSTRAP:
+    EASY_THRESH: -0.9
+    HARD_THRESH: -0.7
+  CLASSIFIER: {lambda: 0.00001, sigma: 15, M: 24, kernel_type: 'gauss'}
+REGION_REFINER:
+  opts: {lambda: 1000}
+ONLINE_SEGMENTATION:
+  MINIBOOTSTRAP: {EASY_THRESH: -0.9, HARD_THRESH: -0.7}
+  CLASSIFIER: {lambda: 0.000001, sigma: 10, M: 16, kernel_type: 'gauss'}
+EVALUATION: {SCORE_THRESH: -2, NMS: 0.3, DETECTIONS_PER_IMAGE: 10}
+RPN:
+  ONLINE_REGION_CLASSIFIER:
+    MINIBOOTSTRAP: {EASY_THRESH: -0.9, HARD_THRESH: -0.7}
+    CLASSIFIER: {lambda: 0.001, sigma: 50, M: 24, kernel_type: 'gauss'}
+  REGION_REFINER:
+    opts: {lambda: 0.01}
+"""
+
+    root = str(tmp_path / "ycbv_synth")
+    make_synthetic_icwt(root, n_train=5, n_test=3, image_hw=(120, 160))
+    feat_path = tmp_path / "feat.yaml"
+    feat_path.write_text(feat_cfg.format(root=root))
+    online_path = tmp_path / "online.yaml"
+    online_path.write_text(online_cfg)
+    out_dir = str(tmp_path / "out")
+
+    results = exp.main([
+        "--output_dir", out_dir,
+        "--config_file_feature_extraction", str(feat_path),
+        "--config_file_online_rpn_detection_segmentation", str(online_path),
+        "--save_RPN_detector_segmentation_models",
+        "--CPU", "--n_devices", "8",
+    ])
+    assert "det_map_0.5" in results
+    cli_models = ckpt.load_online_models(out_dir)
+
+    # single-device run of the same projected config, same keys as the CLI
+    train_cfg, det_cfg, extras = build_configs(
+        load_yaml(str(feat_path)), load_yaml(str(online_path)), None
+    )
+    train_ds = ICubWorldDataset(root, "Main", "train")
+    params = init_detector_params(jax.random.key(0), 15, train_cfg.num_classes + 1)
+    info = train_ds.get_annotation(0)
+    canvas = canvas_size(info.width, info.height,
+                         extras["min_size_test"], extras["max_size_test"])
+    state, _ = harvest_dataset_device(
+        jax.random.key(1), params, train_ds, train_cfg, canvas,
+        dcfg=det_cfg, min_size=extras["min_size_test"],
+        max_size=extras["max_size_test"], batch_size=8,
+    )
+    ref = train_online_modules_device(jax.random.key(2), [state], train_cfg)
+    del state
+
+    for name, got_m, ref_m in [
+        ("rpn", cli_models.rpn, ref.rpn),
+        ("detector", cli_models.detector, ref.detector),
+        ("mask", cli_models.mask, ref.mask),
+    ]:
+        np.testing.assert_array_equal(
+            np.asarray(got_m.falkon.exists), np.asarray(ref_m.falkon.exists),
+            err_msg=name,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got_m.falkon.centers), np.asarray(ref_m.falkon.centers),
+            rtol=1e-4, atol=1e-4, err_msg=name,
+        )
+        # alpha is compared in PREDICTION space: the CG solve leaves the
+        # coefficient vector free along near-null directions of the kernel
+        # system, so cross-device summation order moves individual alpha
+        # entries by a few percent while the classifier function is
+        # unchanged (same reason every other equality test here scores a
+        # probe set instead of diffing alpha)
+        d_feat = int(got_m.falkon.centers.shape[-1])
+        np.testing.assert_allclose(
+            _scores(got_m.falkon, np.random.default_rng(7), d=d_feat),
+            _scores(ref_m.falkon, np.random.default_rng(7), d=d_feat),
+            rtol=2e-3, atol=2e-3, err_msg=name,
+        )
+        if hasattr(got_m, "rls") and got_m.rls is not None:
+            np.testing.assert_allclose(
+                np.asarray(got_m.rls.beta), np.asarray(ref_m.rls.beta),
+                rtol=1e-3, atol=1e-3, err_msg=name,
+            )

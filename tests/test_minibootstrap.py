@@ -148,3 +148,40 @@ def test_unrolled_matches_scan(rng):
     np.testing.assert_array_equal(np.asarray(nm_s), np.asarray(nm_u))
     np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_u))
     np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_u), atol=1e-4)
+
+
+def test_warm_train_program_registry(rng):
+    """warm_train_program AOT-compiles + registers the production program;
+    the subsequent train_classifiers_minibootstrap call executes THAT
+    loaded executable (no jit recompile/reload) with identical results."""
+    import jax
+
+    from online_detection_tpu.solvers import minibootstrap as MB
+    from online_detection_tpu.utils.stats import FeatureStats
+
+    c, p_cap, n_iter, batch, d = 3, 6, 2, 8, 16
+    params = MB.MinibootstrapParams(m=8, sigma=3.0, lam=1e-2)
+    pos = jnp.asarray(rng.normal(size=(c, p_cap, d)).astype(np.float32) + 1.0)
+    pv = jnp.ones((c, p_cap), bool)
+    neg = jnp.asarray(rng.normal(size=(c, n_iter, batch, d)).astype(np.float32) - 1.0)
+    nv = jnp.ones((c, n_iter, batch), bool)
+    stats = FeatureStats(jnp.zeros((d,)), jnp.ones((d,)), jnp.asarray(20.0))
+    key = jax.random.key(5)
+
+    ref = MB.train_classifiers_minibootstrap(
+        key, pos, pv, neg, nv, params, stats=stats
+    )
+    MB.warm_train_program(c, p_cap, n_iter, batch, d, params, with_stats=True)
+    sig = MB._aot_signature(
+        (jax.random.split(key, c), pos, pv, neg, nv, stats), params
+    )
+    assert sig in MB._AOT_PROGRAMS  # the production call will hit the AOT path
+    got = MB.train_classifiers_minibootstrap(
+        key, pos, pv, neg, nv, params, stats=stats
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.alpha), np.asarray(ref.alpha), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got.centers), np.asarray(ref.centers)
+    )
