@@ -1,33 +1,48 @@
 #!/usr/bin/env python
-"""Headline benchmark: full on-line training step at flagship scale.
+"""Headline benchmark: full on-line training at flagship scale.
 
-Measures the wall-clock of training ALL on-line modules at the flagship
-(YCB-Video) configuration on synthetic features resident in HBM:
+Two flagship metrics (emitted last, composed one LAST of all):
 
-- detector: 21 FALKON classifiers, M=1000, d=2048, minibootstrap 10x2000
-- RPN:      15 per-anchor FALKON classifiers, M=1000, d=1024, 10x2000
-- segmentation: 21 per-pixel FALKON classifiers, M=500, d=256, 2x20000
-- RLS refiners for detector (lam=1000) and RPN (lam=0.01)
+- ``online_modules_training_time_flagship_scale`` — the solver half only
+  (features already resident in HBM): 21 detector + 15 RPN + 21 per-pixel
+  segmentation FALKON minibootstraps plus both grouped RLS refiner fits, at
+  the shipped YCB-Video configuration (M=1000/1000/500, 10x2000 pools,
+  2x20000 pixel batches), measured through the PRODUCTION solver entry
+  (stats-inside-the-program z-scoring, class_chunk=8 — exactly what
+  ``train_online_modules_device`` executes). Matches the reference's
+  "Online Classifier/Region Refiner training time" result.txt lines
+  (``OnlineRegionClassifier.py:144-154``, ``train_region_refiner.py:86-95``).
+- ``total_online_training_flagship`` — the reference's TRUE headline
+  (``run_experiment_online_rpn_ood_oos.py:269-277``): feature extraction
+  (batched CNN harvest into HBM reservoirs) PLUS on-line-module training,
+  one wall-clock, via the production device pipeline. Canvases are
+  synthesized ON DEVICE (the tunneled dev chip's 0.1-12 MB/s host link
+  would otherwise measure the tunnel, not the TPU).
 
-This is the reference's "on-line training time" headline (SURVEY.md §6;
-``result.txt`` stage timings). The reference runs the same workload
-sequentially per class on one GPU in minutes; ``vs_baseline`` is speedup
-against the 120 s the reference's published pipeline budget corresponds to
-(paper tables report 2-4 min on-line training on YCB-Video; BASELINE.md —
-no in-repo numbers exist, so 120 s is the conservative low end).
+``vs_baseline`` divides the assumed 120 s floor: the papers report "minutes"
+for on-line training INCLUDING extraction and publish no transcribable
+number in-sandbox (BASELINE.md); the reference's per-image loop alone needs
+~300 s for the composed stage's 1504 images at a generous 5 imgs/s, so both
+ratios are lower bounds on the true speedup.
 
-Output protocol (round-2 redesign after the round-1 rc=124 timeout): a JSON
-line is printed and flushed **the moment each stage is measured**, cheapest
-stage first, so a partial run still lands numbers. The LAST line printed is
-always the headline ``online_training_time_flagship_scale`` metric — composed
-from per-stage sums if the end-to-end sweep had to be skipped on deadline.
-Stale persistent-compile-cache entries from a different libtpu build are
-detected (fingerprint file) and purged instead of crashing the process.
+Output protocol: a JSON line is printed and flushed the moment each stage is
+measured, cheapest first, so a partial run still lands numbers; the LAST
+line is always ``total_online_training_flagship`` (estimated from measured
+stages if the composed sweep had to be skipped on deadline).
+
+Budget strategy (round-3 redesign after BENCH_r02 hit its deadline with the
+two heaviest stages unmeasured): the flagship minibootstrap executables are
+~tens of MB and their device upload is LAZY — 35-65 s each at first call
+over the tunnel even on a compile-cache HIT (BASELINE.md). The bench now
+AOT-compiles AND device-loads them (plus both RLS programs) on background
+threads while the mmv/throughput stages run in the foreground, so the
+solver stages pay neither compile nor upload when their turn comes.
 """
 
 import json
 import os
 import sys
+import threading
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
@@ -36,6 +51,7 @@ sys.path.insert(0, REPO)
 import numpy as np
 
 BASELINE_SECONDS = 120.0
+COMPOSED_IMAGES = int(os.environ.get("ODTPU_BENCH_COMPOSED_IMAGES", "1504"))
 
 
 def _deadline() -> float:
@@ -69,6 +85,9 @@ from online_detection_tpu.utils.compile_cache import (  # noqa: E402
 )
 
 CACHE_DIR = default_cache_dir()
+
+BASELINE_NOTE = ("assumed 120s floor (papers say minutes; no transcribable "
+                 "number in-sandbox) - ratio is a lower bound")
 
 
 def _purge_cache(reason: str):
@@ -105,13 +124,21 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from online_detection_tpu.ops.gaussian_mmv import mmv
+    from online_detection_tpu.pipelines.online_pipeline import OnlineTrainConfig
     from online_detection_tpu.solvers.minibootstrap import (
         MinibootstrapParams,
         train_classifiers_minibootstrap,
+        warm_train_program,
     )
     from online_detection_tpu.solvers.rls import rls_fit_grouped
+    from online_detection_tpu.utils.stats import FeatureStats
 
     rng = np.random.default_rng(0)
+
+    # the flagship configuration (shipped YCBV YAML projection: shuffled
+    # negative pools) — the single source of the solver-program shapes for
+    # the warm-up, the per-stage metrics, AND the composed pipeline
+    FCFG = OnlineTrainConfig(shuffle_negatives=True, rpn_shuffle_negatives=True)
 
     def dev_normal(key, shape, shift=0.0):
         """Synthetic data generated ON DEVICE. Uploading NumPy buffers would
@@ -137,9 +164,67 @@ def main():
         t2 = time.perf_counter()
         return t1 - t0, t2 - t1
 
-    stage_times = {}  # warm wall-clock per stage, summed into the headline
+    stage_times = {}  # warm wall-clock per stage, summed into the estimate
+
+    # ---- background warm-up of every solver executable ------------------
+    # RLS thunks are shared between the warm thread and the timed stage so
+    # the stage re-executes the exact program the thread loaded. Input
+    # creation is LAZY (first call): every fresh-process program upload costs
+    # 10-60 s on this tunnel, so the four input-synthesis executables must
+    # load on the warm threads, not ahead of the mmv stage (a slow-tunnel
+    # run burned ~6 min before stage 1 when these were eager).
+    def make_rls(n_cls, d, lam, seed):
+        cell = []
+
+        def thunk():
+            if not cell:
+                cell.append((
+                    dev_normal(seed, (n_cls * 1000, d)),
+                    dev_normal(seed + 1, (n_cls * 1000, 4)),
+                    jnp.repeat(jnp.arange(1, n_cls + 1, dtype=jnp.float32),
+                               1000),
+                    jnp.ones((n_cls * 1000,)),
+                ))
+            xs, ys, cs, ws = cell[0]
+            return rls_fit_grouped(
+                xs, ys, cs, ws, n_cls, lam, device_solve=True
+            ).beta
+
+        return thunk
+
+    rls_det_thunk = make_rls(21, 2048, 1000.0, 200)
+    rls_rpn_thunk = make_rls(15, 1024, 0.01, 210)
+
+    def head_params(which):
+        s = {"det": (FCFG.det_m, FCFG.det_sigma, FCFG.det_lam),
+             "rpn": (FCFG.rpn_m, FCFG.rpn_sigma, FCFG.rpn_lam),
+             "segm": (FCFG.segm_m, FCFG.segm_sigma, FCFG.segm_lam)}[which]
+        return MinibootstrapParams(m=s[0], sigma=s[1], lam=s[2],
+                                   hard_thresh=FCFG.hard_thresh,
+                                   easy_thresh=FCFG.easy_thresh)
+
+    CK = FCFG.solver_class_chunk  # 8: the production per-chunk program width
+    head_specs = [
+        # (name, seed, (C, P, I, B, d), params) — pool shapes are the
+        # PRODUCTION reservoir shapes train_online_modules_device trains on
+        ("minibootstrap_segm_21cls_m500", 300,
+         (FCFG.num_classes, FCFG.segm_pos_cap, 2, FCFG.segm_batch_size, 256),
+         head_params("segm")),
+        ("minibootstrap_rpn_15anchors_m1000", 310,
+         (FCFG.num_anchor_classes, FCFG.rpn_pos_cap, FCFG.iterations,
+          FCFG.batch_size, 1024),
+         head_params("rpn")),
+        ("minibootstrap_detector_21cls_m1000", 320,
+         (FCFG.num_classes, FCFG.det_pos_cap, FCFG.iterations,
+          FCFG.batch_size, 2048),
+         head_params("det")),
+    ]
 
     # ---- stage 1: fused Gaussian-kernel mmv (the inference primitive) ----
+    # Runs BEFORE the warm threads start: their throwaway device runs and
+    # compile load would otherwise interleave with these 50 reps (a run with
+    # warm threads live read the mmv at 546 ms = 150 GFLOP/s on a chip that
+    # does it in 1.3 ms — 99.8% contention artifact).
     x_mmv = dev_normal(101, (20000, 2048))
     c_mmv = dev_normal(102, (1000, 2048))
     a_mmv = dev_normal(103, (1000,))
@@ -154,71 +239,30 @@ def main():
     flops = 2.0 * 20000 * 1000 * 2048
     emit("gaussian_mmv_20k_x_1000_d2048", warm_s * 1e3, "ms",
          vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1), reps=reps)
+    x_mmv = c_mmv = a_mmv = out = None
 
-    # ---- stage 2: grouped RLS refiners (device Cholesky solve) ----
-    def rls_stage(n_cls, d, lam, name):
-        xs = dev_normal(200 + n_cls, (n_cls * 1000, d))
-        ys = dev_normal(210 + n_cls, (n_cls * 1000, 4))
-        cs = jnp.repeat(jnp.arange(1, n_cls + 1, dtype=jnp.float32), 1000)
-        ws = jnp.ones((n_cls * 1000,))
-        thunk = lambda: rls_fit_grouped(
-            xs, ys, cs, ws, n_cls, lam, device_solve=True
-        ).beta
-        compile_s, warm_s = timed(thunk)
-        emit(name, warm_s, "s", setup_s=round(compile_s, 2))
-        stage_times[name] = warm_s
-        return thunk
+    # ---- background warm-up of every solver executable ------------------
+    # Overlaps the throughput stages below, whose numbers are taken as
+    # best-of-3 windows (robust to the throwaway-run blips; see their
+    # comment). The solver stages join these threads before timing.
+    warm_threads = []
+    if os.environ.get("ODTPU_BENCH_WARM", "1") != "0":
+        for _name, _seed, (c, p, i, b, d), params in head_specs:
+            t = threading.Thread(
+                target=warm_train_program,
+                args=(min(CK, c), p, i, b, d, params), daemon=True,
+            )
+            t.start()
+            warm_threads.append(t)
+        for thunk in (rls_det_thunk, rls_rpn_thunk):
+            t = threading.Thread(
+                target=lambda f=thunk: jax.device_get(f()), daemon=True
+            )
+            t.start()
+            warm_threads.append(t)
 
-    rls_det_thunk = rls_rpn_thunk = None
-    if _remaining(deadline) > 60:
-        rls_det_thunk = rls_stage(21, 2048, 1000.0, "rls_fit_detector_21x1000")
-    if _remaining(deadline) > 45:
-        rls_rpn_thunk = rls_stage(15, 1024, 0.01, "rls_fit_rpn_15x1000")
-
-    # ---- stages 3-5: per-head FALKON minibootstrap ----
-    # pools are (re)generated on demand and FREED between stages: keeping the
-    # ~6 GB of head data resident through the throughput stage starves the
-    # batch sweep of HBM (b32 RESOURCE_EXHAUSTED with them live)
-    def mk(seed, c, p, i, b, d):
-        pos = dev_normal(seed, (c, p, d), shift=0.5)
-        neg = dev_normal(seed + 1, (c, i, b, d), shift=-0.5)
-        return pos, jnp.ones((c, p), bool), neg, jnp.ones((c, i, b), bool)
-
-    head_specs = [
-        ("minibootstrap_segm_21cls_m500", 300, (21, 2000, 2, 20000, 256),
-         MinibootstrapParams(m=500, sigma=10.0, lam=1e-6)),
-        ("minibootstrap_rpn_15anchors_m1000", 310, (15, 500, 10, 2000, 1024),
-         MinibootstrapParams(m=1000, sigma=50.0, lam=1e-3)),
-        ("minibootstrap_detector_21cls_m1000", 320, (21, 500, 10, 2000, 2048),
-         MinibootstrapParams(m=1000, sigma=15.0, lam=1e-5)),
-    ]
-
-    def head_thunk(seed, dims, params):
-        data = mk(seed, *dims)
-        return lambda: train_classifiers_minibootstrap(
-            jax.random.key(0), *data, params
-        ).alpha
-
-    measured_heads = []
-
-    def run_minibootstrap_stages():
-        # deferred until AFTER the throughput stages: these programs'
-        # ~120 MB unrolled executables take 35-65 s each to ship over the
-        # tunnel even on a cache hit (BASELINE.md), and a slow-link run must
-        # not starve the throughput stages of budget — the headline composes
-        # from whatever lands, with vs_baseline guarded on completeness
-        for name, seed, dims, params in head_specs:
-            if _remaining(deadline) < 45:
-                print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
-                continue
-            thunk = head_thunk(seed, dims, params)
-            compile_s, warm_s = timed(thunk)
-            emit(name, warm_s, "s", setup_s=round(compile_s, 2))
-            stage_times[name] = warm_s
-            measured_heads.append((name, seed, dims, params))
-            del thunk  # frees this head's pools before the next stage
-
-    # ---- stage 3: harvest throughput (batched trunk + chunks + reservoirs) ----
+    # ---- stage 2: harvest + inference throughput (the serving path) -----
+    bsz, hh, ww, gt_cap = 8, 608, 800, 8
     if _remaining(deadline) <= 120:
         print(f"# bench: skipping throughput stages "
               f"(deadline, {_remaining(deadline):.0f}s left)", file=sys.stderr)
@@ -239,7 +283,6 @@ def main():
                 _jit_batched_trunk,
             )
 
-            bsz, hh, ww, gt_cap = 8, 608, 800, 8
             dcfg = DetectorConfig()
             hcfg = HarvestConfig(negatives_to_pick=64, gt_cap=gt_cap)
             params = init_detector_params(jax.random.key(0), 15, 22)
@@ -262,8 +305,7 @@ def main():
             gv = jnp.ones((bsz, gt_cap), bool)
             gm = jnp.ones((bsz, gt_cap, 14, 14), jnp.float32)
             img_valid = jnp.ones((bsz,), bool)
-            # modest reservoir caps: throughput does not depend on pool size,
-            # and the solver stages' multi-GB buffers are still HBM-resident
+            # modest reservoir caps: throughput does not depend on pool size
             state = dacc.init_reservoirs(
                 15, 21, 2000, rpn_pos_cap=1024, det_pos_cap=1024,
                 coxy_cap=8000, mask_cap=16000,
@@ -295,8 +337,8 @@ def main():
             # overhead under ~2%
             n_batches = 12
             # best-of-3 trials: the chip is shared behind a tunnel and a
-            # single 4-rep window can absorb unrelated stalls (one run read
-            # 92 imgs/s where an isolated probe reads 105)
+            # single window can absorb unrelated stalls (incl. the warm
+            # threads' throwaway runs)
             best_dt = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
@@ -309,9 +351,10 @@ def main():
                  gflops_per_img=round(harvest_gflops, 1),
                  tflops=round(ips * harvest_gflops / 1e3, 1),
                  mfu=round(F.mfu(ips * harvest_gflops * 1e9), 3))
+            stage_times["harvest_ips"] = ips
             del state  # release reservoirs before the inference stage
 
-            # ---- inference throughput (the serving path) ----
+            # ---- inference throughput ----
             from online_detection_tpu.models.heads import (
                 OnlineDetectorModels,
                 OnlineMaskModels,
@@ -323,7 +366,6 @@ def main():
             )
             from online_detection_tpu.solvers.falkon import FalkonModel
             from online_detection_tpu.solvers.rls import RLSModel
-            from online_detection_tpu.utils.stats import FeatureStats
 
             def falkon(seed, c, mm, d, sigma):
                 return FalkonModel(
@@ -332,7 +374,7 @@ def main():
                     jnp.ones((c,), bool), sigma,
                 )
 
-            def rls(seed, c, d):
+            def rls_model(seed, c, d):
                 eye = jnp.broadcast_to(jnp.eye(4), (c, 4, 4))
                 return RLSModel(dev_normal(seed, (c, d + 1, 4)) * 1e-4,
                                 eye, eye, jnp.zeros((c, 4)),
@@ -344,9 +386,10 @@ def main():
 
             online = OnlineModelSet(
                 rpn=OnlineRPNModels(falkon(400, 15, 1000, 1024, 50.0),
-                                    rls(402, 15, 1024), stats(1024)),
+                                    rls_model(402, 15, 1024), stats(1024)),
                 detector=OnlineDetectorModels(falkon(404, 21, 1000, 2048, 15.0),
-                                              rls(406, 21, 2048), stats(2048)),
+                                              rls_model(406, 21, 2048),
+                                              stats(2048)),
                 mask=OnlineMaskModels(falkon(408, 21, 500, 256, 10.0),
                                       stats(256)),
             )
@@ -357,7 +400,7 @@ def main():
 
             def run_inference_batch(b):
                 """imgs/s at canvas batch b (tail sweep reuses the batch-8
-                canvases by tiling — data is synthetic). Batch >= 16 chunks
+                canvases by tiling — data is synthetic). Batch >= 32 chunks
                 the RoIAlign intermediate (DetectorConfig.roi_chunk) — flat
                 vmap OOMs HBM at batch 32."""
                 cv = jnp.tile(canv, (max(1, b // bsz), 1, 1, 1))[:b]
@@ -384,7 +427,7 @@ def main():
             # batch-1 serving latency: the reference's own operating point
             # (TEST.IMS_PER_BATCH: 1 in every experiment config) — the
             # number a latency-sensitive deployment compares first.
-            if _remaining(deadline) > 150:
+            if _remaining(deadline) > 120:
                 try:
                     ips1 = run_inference_batch(1)
                     emit("inference_latency_600px_b1", 1e3 / ips1, "ms",
@@ -394,10 +437,9 @@ def main():
                     print(f"# bench: batch-1 latency failed: {e!r}",
                           file=sys.stderr)
 
-            # batch-knee sweep (VERDICT round 1, missing #6): where does the
-            # imgs/s curve flatten? Each extra batch size costs one compile.
+            # batch-knee sweep: where does the imgs/s curve flatten?
             for b_sweep in (16, 32):
-                if _remaining(deadline) < 150:
+                if _remaining(deadline) < 120:
                     print(f"# bench: skipping batch-{b_sweep} sweep (deadline)",
                           file=sys.stderr)
                     break
@@ -411,19 +453,70 @@ def main():
                     print(f"# bench: batch-{b_sweep} sweep failed: {e!r}",
                           file=sys.stderr)
                     break
-            del online, params, canv  # release HBM before the headline
+            del online, params, canv  # release HBM before the solver stages
         except Exception as e:  # never let the throughput stage kill the bench
             print(f"# bench: harvest stage failed: {e!r}", file=sys.stderr)
 
-    # ---- stages 4-6: per-head FALKON minibootstrap (deferred; see above) --
-    run_minibootstrap_stages()
+    # ---- join the warm threads (their uploads overlapped the stages above)
+    for t in warm_threads:
+        t.join(timeout=max(10.0, _remaining(deadline) - 90))
+    still = sum(t.is_alive() for t in warm_threads)
+    if still:
+        print(f"# bench: {still} warm threads still loading", file=sys.stderr)
 
-    # ---- headline: the full on-line training step ----
-    complete = len(stage_times) == 5
-    headline_done = False
-    if complete and _remaining(deadline) > 2.5 * sum(stage_times.values()) + 10:
-        # everything is compiled — regenerate the pools (freed before the
-        # throughput stage) and run one timed end-to-end sweep
+    # ---- stage 3: grouped RLS refiners (device Cholesky solve) ----
+    if _remaining(deadline) > 30:
+        compile_s, warm_s = timed(rls_det_thunk)
+        emit("rls_fit_detector_21x1000", warm_s, "s", setup_s=round(compile_s, 2))
+        stage_times["rls_fit_detector_21x1000"] = warm_s
+    if _remaining(deadline) > 25:
+        compile_s, warm_s = timed(rls_rpn_thunk)
+        emit("rls_fit_rpn_15x1000", warm_s, "s", setup_s=round(compile_s, 2))
+        stage_times["rls_fit_rpn_15x1000"] = warm_s
+
+    # ---- stages 4-6: per-head FALKON minibootstrap (production program) --
+    # pools are (re)generated on demand and FREED between stages: keeping
+    # all three heads' pools resident (~6 GB) starves later stages of HBM
+    def mk(seed, c, p, i, b, d):
+        pos = dev_normal(seed, (c, p, d), shift=0.5)
+        neg = dev_normal(seed + 1, (c, i, b, d), shift=-0.5)
+        return pos, jnp.ones((c, p), bool), neg, jnp.ones((c, i, b), bool)
+
+    def head_thunk(seed, dims, params):
+        data = mk(seed, *dims)
+        st = FeatureStats(jnp.zeros((dims[4],)), jnp.ones((dims[4],)),
+                          jnp.asarray(20.0))
+        # stats= + class_chunk=CK: the exact production configuration
+        # train_online_modules_device runs (z-scoring inside the program,
+        # CK-wide chunked executions of the same per-chunk executable the
+        # warm threads loaded)
+        return lambda: train_classifiers_minibootstrap(
+            jax.random.key(0), *data, params, stats=st, class_chunk=CK
+        ).alpha
+
+    measured_heads = []
+    for name, seed, dims, params in head_specs:
+        if _remaining(deadline) < 30:
+            print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
+            continue
+        thunk = head_thunk(seed, dims, params)
+        compile_s, warm_s = timed(thunk)
+        emit(name, warm_s, "s", setup_s=round(compile_s, 2))
+        stage_times[name] = warm_s
+        measured_heads.append((name, seed, dims, params))
+        del thunk  # frees this head's pools before the next stage
+
+    # ---- headline A: the on-line-modules training step (solver half) ----
+    solver_keys = ["rls_fit_detector_21x1000", "rls_fit_rpn_15x1000",
+                   "minibootstrap_segm_21cls_m500",
+                   "minibootstrap_rpn_15anchors_m1000",
+                   "minibootstrap_detector_21cls_m1000"]
+    complete = all(k in stage_times for k in solver_keys)
+    solver_dt = None
+    if complete and _remaining(deadline) > 2.5 * sum(
+            stage_times[k] for k in solver_keys) + 10:
+        # everything is compiled + loaded — regenerate the pools (freed
+        # between stages) and run one timed end-to-end solver sweep
         try:
             head_thunks = [
                 head_thunk(seed, dims, params)
@@ -439,29 +532,180 @@ def main():
             full_training_step()  # warm the regenerated buffers into place
             t0 = time.perf_counter()
             full_training_step()
-            dt = time.perf_counter() - t0
-            emit("online_training_time_flagship_scale", dt, "s",
-                 vs_baseline=BASELINE_SECONDS / dt,
-                 baseline_note="assumed 120s floor (papers say minutes; no "
-                 "transcribable number in-sandbox) - ratio is a lower bound")
-            headline_done = True
-        except Exception as e:  # the headline line must ALWAYS be emitted
-            print(f"# bench: end-to-end sweep failed ({e!r}); "
+            solver_dt = time.perf_counter() - t0
+            emit("online_modules_training_time_flagship_scale", solver_dt,
+                 "s", vs_baseline=BASELINE_SECONDS / solver_dt,
+                 complete=True, baseline_note=BASELINE_NOTE)
+            del head_thunks
+        except Exception as e:
+            print(f"# bench: end-to-end solver sweep failed ({e!r}); "
                   "falling back to stage sums", file=sys.stderr)
-    if not headline_done and stage_times:
-        # deadline hit: headline = sum of the measured warm stages (the full
-        # step is their sequential composition). vs_baseline is only claimed
-        # when ALL 5 stages landed — a partial sum is not the flagship step
-        # and a ratio against it would overstate the speedup.
-        dt = sum(stage_times.values())
-        emit("online_training_time_flagship_scale", dt, "s",
-             vs_baseline=(BASELINE_SECONDS / dt) if complete else None,
-             estimated_from_stages=sorted(stage_times),
-             complete=complete,
-             baseline_note="assumed 120s floor (papers say minutes; no "
-             "transcribable number in-sandbox) - ratio is a lower bound")
-    elif not headline_done:
-        raise SystemExit("bench: no stage completed before the deadline")
+    if solver_dt is None and any(k in stage_times for k in solver_keys):
+        solver_dt = sum(stage_times.get(k, 0.0) for k in solver_keys)
+        # vs_baseline only when ALL 5 stages landed: a partial sum is not
+        # the flagship step and a ratio against it would overstate
+        emit("online_modules_training_time_flagship_scale", solver_dt, "s",
+             vs_baseline=(BASELINE_SECONDS / solver_dt) if complete else None,
+             estimated_from_stages=sorted(
+                 k for k in solver_keys if k in stage_times),
+             complete=complete, baseline_note=BASELINE_NOTE)
+    elif solver_dt is None:
+        raise SystemExit("bench: no solver stage completed before deadline")
+
+    # ---- headline B (LAST): composed extraction + training ----
+    # Drop every buffer AND every jit executable the earlier stages loaded:
+    # the composed stage passes in an isolated process (even with the AOT
+    # registry populated) but a full-bench run fails FAILED_PRECONDITION at
+    # its detector stage — the accumulated program/scratch state of ~15
+    # prior executables (the unrolled minibootstraps alone are ~120 MB each)
+    # plus the flagship reservoirs is what differs. clear_caches() releases
+    # the jit-held executables; the AOT registry (a plain dict of compiled
+    # objects the composed training re-executes) survives, and the composed
+    # stage's own programs reload through the persistent compile cache.
+    import gc
+
+    rls_det_thunk = rls_rpn_thunk = None
+    gc.collect()
+    jax.clear_caches()
+    composed = None
+    if _remaining(deadline) > 150:
+        try:
+            composed = run_composed_flagship(jax, jnp, FCFG, deadline)
+        except Exception as e:
+            print(f"# bench: composed stage failed: {e!r}", file=sys.stderr)
+    if composed is not None:
+        dt, n_imgs, extract_dt, train_dt = composed
+        emit("total_online_training_flagship", dt, "s",
+             vs_baseline=BASELINE_SECONDS / dt,
+             n_images=n_imgs, extraction_s=round(extract_dt, 3),
+             training_s=round(train_dt, 3), complete=complete,
+             measured="end_to_end", baseline_note=BASELINE_NOTE +
+             f"; includes CNN extraction of {n_imgs} imgs (reference's "
+             "per-image loop alone needs ~300s for these at 5 imgs/s); on "
+             "this tunneled dev chip both halves are dominated by per-"
+             "dispatch host round-trips (~50ms each), not device time - "
+             "the solver-only headline above is the device-time number")
+    else:
+        # estimate from the measured pieces so the LAST line is always the
+        # composed headline; flagged estimated, vs_baseline only if complete
+        ips = stage_times.get("harvest_ips")
+        est = (COMPOSED_IMAGES / ips if ips else 0.0) + solver_dt
+        est_complete = complete and ips is not None
+        emit("total_online_training_flagship", est, "s",
+             vs_baseline=(BASELINE_SECONDS / est) if est_complete else None,
+             n_images=COMPOSED_IMAGES, complete=est_complete,
+             measured="estimated_from_stages", baseline_note=BASELINE_NOTE)
+
+
+def run_composed_flagship(jax, jnp, FCFG, deadline):
+    """The reference's true headline, one wall-clock: batched CNN harvest of
+    COMPOSED_IMAGES synthetic 600px canvases into HBM reservoirs, then the
+    full on-line-module training through ``train_online_modules_device``
+    (the production entry the flagship CLI calls). A small warm-up pass
+    (same program shapes, 2 batches + one throwaway training) pre-compiles
+    and device-loads everything first; the timed run is the warm number,
+    consistent with every other metric here."""
+    import numpy as np
+
+    from online_detection_tpu.engine import device_accumulate as dacc
+    from online_detection_tpu.engine.harvest import HarvestConfig
+    from online_detection_tpu.models.anchors import anchor_visibility, grid_anchors
+    from online_detection_tpu.models.detector import (
+        DetectorConfig,
+        init_detector_params,
+    )
+    from online_detection_tpu.pipelines.device_pipeline import (
+        _jit_batched_chunks_accumulate,
+        _jit_batched_trunk,
+        train_online_modules_device,
+    )
+
+    cfg = FCFG
+    bsz, hh, ww, gt_cap = 8, 608, 800, 8
+    n_images = COMPOSED_IMAGES
+    npick = int(np.ceil(cfg.batch_size * cfg.iterations / n_images))
+    hcfg = HarvestConfig(
+        num_anchor_classes=cfg.num_anchor_classes,
+        num_classes=cfg.num_classes,
+        negatives_to_pick=npick, gt_cap=gt_cap,
+    )
+    dcfg = DetectorConfig()
+    params = init_detector_params(jax.random.key(0), 15, cfg.num_classes + 1)
+    anchors = jnp.asarray(grid_anchors(hh // 16, ww // 16))
+    vis = jnp.asarray(
+        np.broadcast_to(anchor_visibility(np.asarray(anchors), (ww, hh)),
+                        (bsz, anchors.shape[0])).copy()
+    )
+    # device-generated canvases + a small synthetic GT layout per image
+    canv = jax.jit(
+        lambda k: jax.random.randint(k, (bsz, hh, ww, 3), 0, 255, jnp.uint8)
+    )(jax.random.key(7))
+    sizes = jnp.broadcast_to(jnp.asarray([ww, hh]), (bsz, 2))
+    rng = np.random.default_rng(3)
+    gb_np = np.zeros((bsz, gt_cap, 4), np.float32)
+    gl_np = np.zeros((bsz, gt_cap), np.int32)
+    n_gt = 3
+    for i in range(bsz):
+        for g in range(n_gt):
+            x1 = rng.integers(0, ww - 220)
+            y1 = rng.integers(0, hh - 220)
+            s = rng.integers(90, 200)
+            gb_np[i, g] = (x1, y1, x1 + s, y1 + s)
+            gl_np[i, g] = rng.integers(1, cfg.num_classes + 1)
+    gb = jnp.asarray(gb_np)
+    gl = jnp.asarray(gl_np)
+    gv = jnp.asarray(np.arange(gt_cap)[None, :] < n_gt).repeat(bsz, axis=0)
+    gm = jnp.ones((bsz, gt_cap, 14, 14), jnp.float32)
+    img_valid = jnp.ones((bsz,), bool)
+
+    def fresh_state():
+        return dacc.init_reservoirs(
+            cfg.num_anchor_classes, cfg.num_classes,
+            cfg.batch_size * cfg.iterations,
+            rpn_pos_cap=cfg.rpn_pos_cap, det_pos_cap=cfg.det_pos_cap,
+            coxy_cap=cfg.coxy_cap, mask_cap=cfg.segm_batch_size * 2,
+            mask_pos_cap=cfg.segm_pos_cap,
+            chunk_sizes={"npick": npick, "rpn_pos": hcfg.rpn_pos_cap,
+                         "gt_cap": gt_cap, "coxy": hcfg.coxy_cap,
+                         "mask_pix": hcfg.mask_pix_cap},
+            with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
+            batch_size=bsz,
+        )
+
+    jt = _jit_batched_trunk(dcfg, True, None, "mb")
+    jca = _jit_batched_chunks_accumulate(hcfg, cfg.with_rpn, cfg.num_classes)
+    n_batches = int(np.ceil(n_images / bsz))
+    all_keys = jax.random.split(jax.random.key(11), n_batches * bsz)
+    all_keys = all_keys.reshape(n_batches, bsz)
+
+    def run(n_b, train):
+        state = fresh_state()
+        t0 = time.perf_counter()
+        for bi in range(n_b):
+            tr = jt(params, None, anchors, canv, sizes, gb, gv)
+            state = jca(state, all_keys[bi], *tr, anchors, vis, sizes,
+                        gb, gl, gv, gm, img_valid)
+        jax.device_get(state.n_images)
+        t_extract = time.perf_counter() - t0
+        if not train:
+            del state
+            return t_extract, 0.0
+        holder = [state]
+        del state
+        t1 = time.perf_counter()
+        online = train_online_modules_device(jax.random.key(12), holder, cfg)
+        jax.device_get(online.detector.falkon.alpha)
+        t_train = time.perf_counter() - t1
+        del online
+        return t_extract, t_train
+
+    run(2, train=True)  # warm-up: compiles/loads stats, split, solver programs
+    if _remaining(deadline) < n_images / 60.0 + 30:
+        print("# bench: composed timed run skipped (deadline after warm-up)",
+              file=sys.stderr)
+        return None
+    t_extract, t_train = run(n_batches, train=True)
+    return t_extract + t_train, n_batches * bsz, t_extract, t_train
 
 
 if __name__ == "__main__":

@@ -208,24 +208,30 @@ _REFERENCE_SPLITS = {
 
 def write_reference_imagesets(out_dir: str, ids):
     """Emit the reference's four curated ImageSets files from the converted
-    ``<seq>/<frame>`` ids: per split, its hardcoded sequences in
-    case-insensitive order, every Nth frame of each sequence starting at the
-    first (the shipped files' exact layout). Sequences absent from ``ids``
-    (not downloaded/converted) are skipped with a warning so a partial
-    conversion still yields runnable (if smaller) splits."""
+    ``<seq>/<frame>`` ids: per split, concatenate ALL frames of its hardcoded
+    sequences in case-insensitive order and take every Nth id of the
+    CONCATENATION — the stride phase carries across sequence boundaries
+    (verified against the shipped files: e.g. ``imageset_test_1_out_of_5``
+    runs ``...BB14/1190 -> GPMF14/0001 -> ... -> GSF14/0003``, which only a
+    global stride over the true per-sequence frame counts produces).
+    Sequences absent from ``ids`` (not downloaded/converted) are skipped
+    with a warning so a partial conversion still yields runnable (if
+    smaller) splits — note a skip shifts the downstream phase vs the
+    shipped files."""
     by_seq: Dict[str, list] = {}
     for i in ids:
         seq, _, frame = i.partition("/")
         by_seq.setdefault(seq, []).append(frame)
     paths = []
     for name, (stride, seqs) in _REFERENCE_SPLITS.items():
-        lines = []
+        concat = []
         for seq in sorted(seqs, key=str.lower):
             if seq not in by_seq:
                 print(f"warning: split {name}: sequence {seq} has no "
                       "converted frames; skipping it")
                 continue
-            lines += [f"{seq}/{f}" for f in sorted(by_seq[seq])[::stride]]
+            concat += [f"{seq}/{f}" for f in sorted(by_seq[seq])]
+        lines = concat[::stride]
         path = os.path.join(out_dir, "train", "ImageSets", f"{name}.txt")
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -98,9 +98,10 @@ def test_ho3d_converter(tmp_path, rng):
 def test_ho3d_reference_imagesets(tmp_path):
     """The curated held-out-sequence splits match the reference's shipped
     ImageSets layout: sequence membership (test sequences never in train),
-    per-sequence frame strides from frame 0, case-insensitive sequence
-    order (reference files: Data/datasets/HO3D_V2_iCWT_format/train/
-    ImageSets/*.txt — e.g. ShSu14 sorts before SM4 in val)."""
+    case-insensitive sequence order, and a GLOBAL stride over the
+    concatenated frames — the phase carries across sequence boundaries
+    (reference files: Data/datasets/HO3D_V2_iCWT_format/train/ImageSets/
+    *.txt, e.g. imageset_test_1_out_of_5 runs BB14/1190 -> GPMF14/0001)."""
     from PIL import Image
 
     seqs = {"MC1": 8, "MC5": 11, "MC6": 7, "ShSu14": 6, "SM4": 6}
@@ -124,20 +125,27 @@ def test_ho3d_reference_imagesets(tmp_path):
     ]
 
     train = read("imageset_train_1_out_of_2.txt")
-    # train: MC1 + MC5 (+ ShSu14, SM4, SMu41...) at stride 2; NEVER MC6
+    # train: MC1 + MC5 (+ ShSu14, SM4...) at a GLOBAL stride of 2; NEVER MC6
     assert [l for l in train if l.startswith("MC1/")] == [
         f"MC1/{i:04d}" for i in range(0, 8, 2)
     ]
-    assert any(l.startswith("MC5/") for l in train)
+    # MC1 has 8 frames, so the stride phase entering MC5 is 0 (8 % 2)
+    assert [l for l in train if l.startswith("MC5/")] == [
+        f"MC5/{i:04d}" for i in range(0, 11, 2)
+    ]
+    # MC5 has 11 frames -> cumulative 19 -> ShSu14 enters at phase 1
+    assert [l for l in train if l.startswith("ShSu14/")] == [
+        "ShSu14/0001", "ShSu14/0003", "ShSu14/0005"
+    ]
     assert not any(l.startswith("MC6/") for l in train)
     test = read("imageset_test_1_out_of_5.txt")
     assert test == [f"MC6/{i:04d}" for i in range(0, 7, 5)]
     val = read("imageset_val_1_out_of_5.txt")
-    # case-insensitive sequence order: MC5 < ShSu14 < SM4
+    # case-insensitive sequence order MC5 < ShSu14 < SM4, global stride 5:
+    # MC5 0,5,10; concat idx 15 = ShSu14 local 4; idx 20 = SM4 local 3
     assert val == (
         [f"MC5/{i:04d}" for i in range(0, 11, 5)]
-        + ["ShSu14/0000", "ShSu14/0005"]
-        + ["SM4/0000", "SM4/0005"]
+        + ["ShSu14/0004", "SM4/0003"]
     )
     # the 3-seq training variant keeps MC1 but drops the 4th sequence MC5
     train3 = read("imageset_train_1_out_of_2_3_seq.txt")
