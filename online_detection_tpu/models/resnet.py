@@ -94,9 +94,57 @@ def stage(x: jax.Array, blocks: List[Params], stride: int) -> jax.Array:
     return x
 
 
+def _stem_conv_s2d(x: jax.Array, w: jax.Array) -> jax.Array:
+    """The stem's 7x7 stride-2 pad-3 conv, computed as an ALGEBRAICALLY
+    IDENTICAL 4x4 stride-1 conv on the 2x2 space-to-depth image.
+
+    A 3-input-channel conv leaves 125 of the MXU's 128 contraction lanes
+    idle — measured 1.0 ms/img of the backbone's 1.5 at 608x800 (68% of the
+    whole trunk's time for 4% of its FLOPs). Space-to-depth (the standard
+    MLPerf-ResNet stem transform) folds the stride-2 spatial taps into the
+    channel axis: with u = di - 3 = 2m + p (m in [-2,1], p in {0,1}),
+
+        out[i,j,o] = sum_{m,n,p,q,c} W[2m+p+3, 2n+q+3, c, o]
+                                     * x[2(i+m)+p, 2(j+n)+q, c]
+                   = conv4x4_pad(2,1)(S2D(x), W2)
+
+    where S2D(x)[a,b,(p,q,c)] = x[2a+p, 2b+q, c] and W2 re-indexes W with
+    zeros at the out-of-range taps (u = -4). Same FLOPs up to the zero taps,
+    12 contraction channels instead of 3, identical output in exact
+    arithmetic (unit-tested against the direct conv; f32 differs only by
+    summation order). Measured on v5e: stem 1.0 -> ~0.3 ms/img."""
+    b, h, wd, cin = x.shape
+    k, _, _, cout = w.shape  # [7, 7, 3, 64]
+    x2 = x.reshape(b, h // 2, 2, wd // 2, 2, cin)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, wd // 2, 4 * cin)
+    # W2[(m+2), (n+2), (p,q,c), o] = W[2m+p+3, 2n+q+3, c, o]; index
+    # u+4 = 2(m+2)+p over a front-zero-padded [8, 8] tap grid
+    wpad = jnp.pad(w, ((1, 0), (1, 0), (0, 0), (0, 0)))  # [8, 8, cin, cout]
+    w2 = wpad.reshape(4, 2, 4, 2, cin, cout)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, cout)
+    return jax.lax.conv_general_dilated(
+        x2,
+        w2.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
 def stem(x: jax.Array, p: Params) -> jax.Array:
-    """conv7x7/2 + frozen BN + relu + maxpool 3x3/2 (torch padding=1)."""
-    x = conv_bn(x, p, stride=2)
+    """conv7x7/2 + frozen BN + relu + maxpool 3x3/2 (torch padding=1).
+
+    The conv runs via the space-to-depth formulation (exact; see
+    ``_stem_conv_s2d``) whenever the input's spatial dims are even — every
+    production canvas is (sizes are /32); odd inputs fall back to the
+    direct conv."""
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        x = jax.nn.relu(
+            frozen_bn(_stem_conv_s2d(x, p["w"]), p["scale"], p["bias"])
+        )
+    else:
+        x = conv_bn(x, p, stride=2)
     return jax.lax.reduce_window(
         x,
         -jnp.inf,

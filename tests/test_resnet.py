@@ -186,3 +186,18 @@ def test_backbone_bf16_matches_f32(rng):
     scale = np.abs(f32).max()
     assert bf16.dtype == np.float32 and scale > 0
     np.testing.assert_allclose(bf16, f32, atol=0.05 * scale)
+
+
+def test_stem_s2d_matches_direct_conv(rng):
+    """The space-to-depth stem formulation (_stem_conv_s2d) is algebraically
+    identical to the direct 7x7/2 pad-3 conv — the MXU-utilization transform
+    must not change a single activation (f32 summation-order noise only)."""
+    from online_detection_tpu.models.resnet import _stem_conv_s2d, conv
+
+    for h, w in ((32, 48), (64, 80)):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        wt = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1)
+        direct = np.asarray(conv(x, wt, stride=2))
+        s2d = np.asarray(_stem_conv_s2d(x, wt))
+        assert s2d.shape == direct.shape
+        np.testing.assert_allclose(s2d, direct, atol=2e-5)
