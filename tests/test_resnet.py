@@ -201,3 +201,45 @@ def test_stem_s2d_matches_direct_conv(rng):
         s2d = np.asarray(_stem_conv_s2d(x, wt))
         assert s2d.shape == direct.shape
         np.testing.assert_allclose(s2d, direct, atol=2e-5)
+
+
+def test_stem_fused_pallas_matches_stem(rng):
+    """The fused Pallas stem (ops/stem_pool.py: conv7x7/2 + BN + ReLU +
+    maxpool3x3/2 in one VMEM-resident kernel) is exact vs the composed
+    ``stem`` path for f32 inputs (HIGHEST-precision one-hot column select;
+    f32 accumulation), across tile counts (h4 = 8 -> one row tile, 16 ->
+    two) and non-square shapes."""
+    from online_detection_tpu.ops.stem_pool import stem_fused
+
+    for h, w in ((32, 64), (64, 96), (96, 128)):
+        x = jnp.asarray(rng.normal(size=(2, h, w, 3)).astype(np.float32))
+        wt = jnp.asarray(
+            rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1
+        )
+        scale = jnp.asarray(rng.uniform(0.5, 1.5, 64).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.1)
+        p = {"w": wt, "scale": scale, "bias": bias}
+        ref = np.asarray(stem(x, p))
+        out = np.asarray(stem_fused(x, wt, scale, bias, interpret=True))
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_stem_fused_pallas_bf16(rng):
+    """bf16 inputs (the production trunk dtype): fused output matches the
+    composed path to 1 bf16 ulp — both round conv inputs on the MXU the
+    same way; only f32 accumulation order differs."""
+    from online_detection_tpu.ops.stem_pool import stem_fused
+
+    x = jnp.asarray(rng.normal(size=(2, 64, 96, 3)).astype(np.float32))
+    wt = jnp.asarray(rng.normal(size=(7, 7, 3, 64)).astype(np.float32) * 0.1)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, 64).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=64).astype(np.float32) * 0.1)
+    xb, wb = x.astype(jnp.bfloat16), wt.astype(jnp.bfloat16)
+    ref = np.asarray(
+        stem(xb, {"w": wb, "scale": scale, "bias": bias}), np.float32
+    )
+    out = np.asarray(
+        stem_fused(xb, wb, scale, bias, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(out, ref, atol=0.09)
