@@ -192,21 +192,33 @@ def main():
         t0 = time.perf_counter()
         jax.device_get(fn(params, online, anchors, canv, sizes))
         compile_s = time.perf_counter() - t0
-        # best-of-3 trials: the chip is shared behind a tunnel; a single
-        # window can absorb unrelated stalls (one raw run read res5 at 16
-        # ms/img where an adjacent run read 3)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(args.reps):
-                out = fn(params, online, anchors, canv, sizes)
-            jax.device_get(out)
-            best = min(best, time.perf_counter() - t0)
-        ms = best / args.reps / bsz * 1e3
+
+        # Slope timing: the final device_get pays one tunnel round trip
+        # (~15-20 ms, measured), which at 4 reps x batch 8 inflated every
+        # stage by ~0.5 ms/img — the old per-stage absolutes carried it
+        # even though stage DELTAS cancelled it. Timing the same trial at
+        # reps and 3*reps and taking the slope removes any constant
+        # overhead exactly. best-of-3 on each leg: the chip is shared
+        # behind the tunnel; a single window can absorb unrelated stalls
+        # (one raw run read res5 at 16 ms/img where an adjacent run
+        # read 3).
+        def trial(reps):
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(reps):
+                    out = fn(params, online, anchors, canv, sizes)
+                jax.device_get(out)
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        t_lo, t_hi = trial(args.reps), trial(3 * args.reps)
+        ms = max(t_hi - t_lo, 0.0) / (2 * args.reps) / bsz * 1e3
         print(json.dumps({
             "stage": stage, "ms_per_img": round(ms, 2),
             "delta_ms": round(ms - prev_ms, 2),
+            "sync_ms": round((t_lo - (t_hi - t_lo) / 2) * 1e3, 1),
             "compile_s": round(compile_s, 1),
         }), flush=True)
         prev_ms = ms
