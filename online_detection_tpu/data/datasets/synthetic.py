@@ -68,11 +68,19 @@ def make_synthetic_icwt(
         y1 = int(rng.integers(0, h - bh - 1))
         x2, y2 = x1 + bw, y1 + bh
         color = colors[cls_idx % len(colors)]
-        img[y1 : y2 + 1, x1 : x2 + 1] = (
-            color[None, None] + rng.integers(-20, 20, (y2 - y1 + 1, x2 - x1 + 1, 3))
+        # the object is an ELLIPSE inscribed in the GT box, not the full
+        # rectangle: a box-filling mask projects to all-ones on the 14x14
+        # GT-box grid, so mask harvesting would find ZERO negative pixels
+        # and the per-pixel FALKON heads could never train at smoke scale
+        # (observed: mask_neg counts all 0 -> segm mAP 0.0 everywhere)
+        yy, xx = np.mgrid[0 : h, 0 : w]
+        cy, cx = (y1 + y2) / 2.0, (x1 + x2) / 2.0
+        ell = ((xx - cx) / (bw / 2.0)) ** 2 + ((yy - cy) / (bh / 2.0)) ** 2 <= 1.0
+        img[ell] = (
+            color[None] + rng.integers(-20, 20, (int(ell.sum()), 3))
         ).clip(0, 255).astype(np.uint8)
         mask = np.zeros((h, w), np.uint8)
-        mask[y1 : y2 + 1, x1 : x2 + 1] = 255
+        mask[ell] = 255
         Image.fromarray(img).save(os.path.join(root, "Images", img_id + ".jpg"))
         Image.fromarray(mask).save(os.path.join(root, "Masks", img_id + ".png"))
         _write_xml(

@@ -63,7 +63,13 @@ def _gram_stats(x: jax.Array, y: jax.Array, w: jax.Array):
     ym = y * wf[..., None]
     n = jnp.sum(wf, axis=1)  # [C]
 
-    g_xx = jnp.einsum("cnd,cne->cde", xm, x, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU's default f32 matmul truncates to bf16 passes;
+    # Gram error ~1e-3*||G|| then rivals small ridge lambdas (the flagship RPN
+    # refiner uses lam=0.01) and can push G + lam I indefinite -> NaN Cholesky
+    # downstream. These Grams are negligible FLOPs next to the CNN.
+    hp = jax.lax.Precision.HIGHEST
+    g_xx = jnp.einsum("cnd,cne->cde", xm, x,
+                      preferred_element_type=jnp.float32, precision=hp)
     sum_x = jnp.sum(xm, axis=1)  # [C, d]
     # assemble [d+1, d+1] with bias row/col
     c, d = x.shape[0], x.shape[2]
@@ -73,10 +79,12 @@ def _gram_stats(x: jax.Array, y: jax.Array, w: jax.Array):
     g = g.at[:, d, :d].set(sum_x)
     g = g.at[:, d, d].set(n)
 
-    b_xy = jnp.einsum("cnd,cnk->cdk", xm, y, preferred_element_type=jnp.float32)
+    b_xy = jnp.einsum("cnd,cnk->cdk", xm, y,
+                      preferred_element_type=jnp.float32, precision=hp)
     sum_y = jnp.sum(ym, axis=1)  # [C, 4]
     b = jnp.concatenate([b_xy, sum_y[:, None, :]], axis=1)  # [C, d+1, 4]
-    yty = jnp.einsum("cnk,cnl->ckl", ym, y, preferred_element_type=jnp.float32)
+    yty = jnp.einsum("cnk,cnl->ckl", ym, y,
+                     preferred_element_type=jnp.float32, precision=hp)
     return g, b, sum_y, yty, n
 
 
@@ -165,14 +173,19 @@ def _gram_stats_grouped(x: jax.Array, y: jax.Array, cls1: jax.Array, w: jax.Arra
     wc = onehot * w[:, None]  # [N, C]
     d = x.shape[1]
 
+    hp = jax.lax.Precision.HIGHEST  # see _gram_stats: bf16-pass Gram noise
+
     def per_class(w_c):  # [N] -> this class's moments
         xm = x * w_c[:, None]
         ym = y * w_c[:, None]
-        g_xx = jnp.matmul(xm.T, x, preferred_element_type=jnp.float32)
+        g_xx = jnp.matmul(xm.T, x, preferred_element_type=jnp.float32,
+                          precision=hp)
         sum_x = jnp.sum(xm, axis=0)
-        b_xy = jnp.matmul(xm.T, y, preferred_element_type=jnp.float32)
+        b_xy = jnp.matmul(xm.T, y, preferred_element_type=jnp.float32,
+                          precision=hp)
         sum_y = jnp.sum(ym, axis=0)
-        yty = jnp.matmul(ym.T, y, preferred_element_type=jnp.float32)
+        yty = jnp.matmul(ym.T, y, preferred_element_type=jnp.float32,
+                         precision=hp)
         n = jnp.sum(w_c)
         g = jnp.zeros((d + 1, d + 1), jnp.float32)
         g = g.at[:d, :d].set(g_xx)
@@ -307,15 +320,61 @@ def _device_solve_from_stats(g, b, sum_y, yty, n, lam):
     )
     # Batched Cholesky + two triangular solves. (A batched f32 LU via
     # jnp.linalg.solve compiles ~25x slower on TPU — 193 s vs 7.6 s at
-    # [21, 2049, 2049] — for identical warm-run time.) G + lam*I is PD up to
-    # f32 Gram rounding; a relative jitter ~25x f32 eps on the diagonal keeps
-    # the factorization well-posed without measurably moving the solution.
-    diag_scale = jnp.mean(jnp.diagonal(g, axis1=1, axis2=2), axis=1)  # [C]
-    jitter = 3e-6 * jnp.maximum(diag_scale, 1.0)
-    a = g + (lam + jitter)[:, None, None] * jnp.eye(dp1, dtype=g.dtype)[None]
-    l_chol = jnp.linalg.cholesky(a)
-    u = jax.scipy.linalg.solve_triangular(l_chol, bw, lower=True)
-    beta = jax.scipy.linalg.solve_triangular(l_chol, u, lower=True, trans="T")
+    # [21, 2049, 2049] — for identical warm-run time.) G + lam*I is PD only
+    # up to f32 Gram rounding, so the factorization is made robust two ways:
+    # (a) Jacobi equilibration — factor D^-1/2 (G+lam I) D^-1/2, which has
+    # unit diagonal, so absolute jitters are well-scaled regardless of the
+    # feature magnitudes/sample counts; (b) escalating jitter — try
+    # {0, 3e-5, 3e-3} on the equilibrated matrix and keep the smallest whose
+    # Cholesky comes back finite per class (batched, so 3 tries cost 3
+    # factorizations of a [C, d+1, d+1] — microseconds next to the Grams).
+    # Observed failure this guards against: the flagship smoke config's RPN
+    # refiner (lam=0.01, ~5 samples at d=1025) NaN'd the plain Cholesky on
+    # TPU, which silently zeroed every proposal at inference.
+    a = g + lam * jnp.eye(dp1, dtype=g.dtype)[None]
+    dvec = jnp.sqrt(jnp.maximum(jnp.diagonal(a, axis1=1, axis2=2), 1e-30))
+    a_eq = a / (dvec[:, :, None] * dvec[:, None, :])
+    rhs = bw / dvec[:, :, None]
+    eye = jnp.eye(dp1, dtype=g.dtype)[None]
+
+    def solve_at(eps):
+        am = a_eq + eps[:, None, None] * eye
+        l_chol = jnp.linalg.cholesky(am)
+
+        def tri(r_):
+            u = jax.scipy.linalg.solve_triangular(l_chol, r_, lower=True)
+            return jax.scipy.linalg.solve_triangular(
+                l_chol, u, lower=True, trans="T"
+            )
+
+        z0 = tri(rhs)
+        # one iterative-refinement step against the factored matrix: recovers
+        # most of the f32 factorization error on ill-conditioned (small-lam,
+        # underdetermined) classes for two extra triangular solves.
+        r = rhs - jnp.einsum(
+            "cde,cek->cdk", am, z0,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return z0 + tri(r)
+
+    def pick(za, zb):
+        ok = jnp.all(jnp.isfinite(za), axis=(1, 2))
+        return jnp.where(ok[:, None, None], za, zb)
+
+    # final level: Gershgorin lower bound on the equilibrated eigenvalues
+    # (unit diagonal minus off-diagonal row sums) — guaranteed PD, however
+    # far past PSD the noise pushed the Gram. Pessimistic, but it is the
+    # last resort after 0 / 3e-5 / 3e-3 all NaN'd.
+    zeros = jnp.zeros((g.shape[0],), g.dtype)
+    row_abs = jnp.sum(jnp.abs(a_eq), axis=2) - 1.0  # off-diag |row| sums
+    eps_pd = jnp.maximum(0.0, jnp.max(row_abs, axis=1) - 1.0) + 1e-3
+    z = pick(
+        solve_at(zeros),
+        pick(solve_at(zeros + 3e-5),
+             pick(solve_at(zeros + 3e-3), solve_at(eps_pd))),
+    )
+    beta = z / dvec[:, :, None]
     # per-class mean losses from the same moments (the reference prints these,
     # ``train_region_refiner.py:80-84``): for whitened targets Yw,
     # mean 0.5(Xw - yw)^2 = 0.5/n (b^T G b - 2 b^T bw + diag(T^T S T))

@@ -83,6 +83,13 @@ def test_flagship_experiment_cli(tmp_path):
         ]
     )
     assert "det_map_0.5" in results
+    # the models must actually LEARN at smoke scale (deterministic fixture;
+    # CPU run measures 0.886/0.886 — the loose floor absorbs numeric drift).
+    # Regression guard: an indefinite f32 Gram once NaN'd the RPN refiner and
+    # zeroed every proposal, and box-filling GT masks gave the per-pixel mask
+    # heads zero negatives — both showed up only as silent mAP 0.0 here.
+    assert results["det_map_0.5"] > 0.3
+    assert results["segm_map_0.5"] > 0.3
     assert os.path.exists(os.path.join(out_dir, "result.txt"))
     assert os.path.exists(os.path.join(out_dir, "classifier_detector.npz"))
     assert os.path.exists(os.path.join(out_dir, "classifier_rpn.npz"))

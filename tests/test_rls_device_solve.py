@@ -33,6 +33,60 @@ def test_device_solve_matches_host(rng):
     assert float(np.asarray(dev.mean_losses).max()) > 0
 
 
+def test_device_solve_underdetermined_small_lambda(rng):
+    """The flagship smoke regime: n << d with a small ridge (the RPN refiner
+    runs lam=0.01 on ~5 samples at d=1025). Plain f32 Cholesky NaN'd here on
+    TPU (bf16-pass Gram noise made G + lam I indefinite), which silently
+    zeroed every proposal at inference; the equilibrated escalating-jitter
+    solve must stay finite and close to the host-f64 solution."""
+    n, d, c, lam = 5, 64, 3, 0.01
+    x = rng.normal(size=(n, d)).astype(np.float32) * 3.0
+    y = rng.normal(size=(n, 4)).astype(np.float32)
+    cls1 = np.asarray([1, 1, 2, 2, 2], np.float32)
+    w = np.ones(n, np.float32)
+    host = rls_fit_grouped(jnp.asarray(x), jnp.asarray(y), jnp.asarray(cls1),
+                           jnp.asarray(w), c, lam, device_solve=False)
+    dev = rls_fit_grouped(jnp.asarray(x), jnp.asarray(y), jnp.asarray(cls1),
+                          jnp.asarray(w), c, lam, device_solve=True)
+    assert np.isfinite(np.asarray(dev.beta)).all()
+    probe = jnp.asarray(rng.normal(size=(8, d)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(rls_predict(dev, probe)),
+        np.asarray(rls_predict(host, probe)),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_device_solve_survives_indefinite_gram(rng):
+    """Feed _device_solve_from_stats a Gram perturbed past PSD (the TPU
+    bf16-pass failure mode, reproduced deterministically): the escalating
+    jitter must still return finite coefficients whose residual is small."""
+    from online_detection_tpu.solvers.rls import _device_solve_from_stats
+
+    d, lam = 32, 0.01
+    x = rng.normal(size=(6, d)).astype(np.float32)
+    g_xx = x.T @ x
+    # rank-deficient PSD + a perturbation that drives one eigenvalue to -0.1
+    evals, evecs = np.linalg.eigh(g_xx)
+    g_xx = g_xx - (evals[0] + 0.1) * np.outer(evecs[:, 0], evecs[:, 0])
+    g = np.zeros((1, d + 1, d + 1), np.float32)
+    g[0, :d, :d] = g_xx
+    sx = x.sum(0)
+    g[0, :d, d] = sx
+    g[0, d, :d] = sx
+    g[0, d, d] = 6.0
+    y = rng.normal(size=(6, 4)).astype(np.float32)
+    b = np.concatenate([x.T @ y, y.sum(0, keepdims=True)], 0)[None]
+    beta, t_dev, t_inv, mu, exists, losses = _device_solve_from_stats(
+        jnp.asarray(g), jnp.asarray(b), jnp.asarray(y.sum(0)[None]),
+        jnp.asarray((y.T @ y)[None]), jnp.asarray([6.0]),
+        jnp.asarray(lam, jnp.float32),
+    )
+    assert bool(exists[0])
+    assert np.isfinite(np.asarray(beta)).all()
+    assert np.isfinite(np.asarray(losses)).all()
+
+
 def test_block_compaction_matches_masked_path(rng):
     """The per-class block fast path is a row permutation of the masked pass:
     identical moments, same model (up to reduction-order epsilon)."""
