@@ -156,7 +156,13 @@ def main(argv=None):
             # compile + device-load the solver executables on background
             # threads while the CNN harvest pass runs (their lazy first-call
             # load otherwise lands on the training-time critical path)
-            warm_threads = dpipe.warm_solver_programs(train_cfg)
+            # gt_cap/batch_size must mirror the harvest_dataset_device call
+            # below: they size the reservoirs' scratch margins, which enter
+            # the solver-program signatures (round-3 advisor: a mismatch
+            # makes every warm a silent miss)
+            warm_threads = dpipe.warm_solver_programs(
+                train_cfg, batch_size=args.images_per_batch
+            )
         state, _ = dpipe.harvest_dataset_device(
             jax.random.key(1), params, train_ds, train_cfg, canvas,
             dcfg=det_cfg, output_dir=output_dir,

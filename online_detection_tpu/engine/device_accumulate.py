@@ -314,9 +314,15 @@ def accumulate(state: DeviceReservoirs, chunk: HarvestChunk, num_classes: int) -
     return state._replace(**upd)
 
 
-def shuffle_split(key: jax.Array, pool: Pool, iterations: int, batch_size: int):
+def shuffle_split(key: jax.Array, pool: Pool, iterations: int, batch_size: int,
+                  class_keys=None):
     """Negative pool -> shuffled [C, I, B, d] batches + validity, on device
-    (``py_od_utils.shuffle_negatives`` semantics)."""
+    (``py_od_utils.shuffle_negatives`` semantics).
+
+    ``class_keys``: optional per-class keys [C] — callers that slice class
+    windows out of a wider pool pass keys derived from ABSOLUTE class
+    indices, so the shuffle is invariant to the window boundaries
+    (single-chip == multi-chip streams; round-3 advisor finding)."""
     c, cap, d = pool.rows.shape
     take = iterations * batch_size
 
@@ -329,7 +335,7 @@ def shuffle_split(key: jax.Array, pool: Pool, iterations: int, batch_size: int):
             iterations, batch_size
         )
 
-    keys = jax.random.split(key, c)
+    keys = class_keys if class_keys is not None else jax.random.split(key, c)
     return jax.vmap(per_class)(keys, pool.rows, pool.counts)
 
 

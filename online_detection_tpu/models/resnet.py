@@ -144,30 +144,49 @@ def stem(x: jax.Array, p: Params) -> jax.Array:
     ~125 MB/batch-8 HBM round-trip of the conv activation (measured
     4.46 -> 3.04 ms/batch-8 at 608x800 on v5e; 1-ulp-identical to this
     path, same MXU bf16 rounding)."""
+    import os
+
     even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+
+    def _xla_stem(x):
+        if even:
+            y = jax.nn.relu(
+                frozen_bn(_stem_conv_s2d(x, p["w"]), p["scale"], p["bias"])
+            )
+        else:
+            y = conv_bn(x, p, stride=2)
+        return jax.lax.reduce_window(
+            y,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1, 3, 3, 1),
+            window_strides=(1, 2, 2, 1),
+            padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+
+    # Fused-kernel eligibility: H % 32 guarantees the kernel's row tiling
+    # ((H//4) % 8 == 0) — without it _pick_tile_rows falls back to ONE
+    # full-height tile whose 2*H/4+1 f32 conv rows can blow the VMEM limit
+    # on real hardware (round-3 advisor; production canvases are /32).
+    # ODTPU_FUSED_STEM=0 is the kill-switch should the kernel misbehave on
+    # a future libtpu build.
     if (
-        x.shape[1] % 4 == 0
+        x.shape[1] % 32 == 0
         and x.shape[2] % 4 == 0
         and x.dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
+        and os.environ.get("ODTPU_FUSED_STEM", "1") != "0"
     ):
         from online_detection_tpu.ops.stem_pool import stem_fused
 
-        return stem_fused(x, p["w"], p["scale"], p["bias"])
-    if even:
-        x = jax.nn.relu(
-            frozen_bn(_stem_conv_s2d(x, p["w"]), p["scale"], p["bias"])
+        # decide per LOWERING platform, not via the process-global default
+        # backend (which can disagree with the actual target under
+        # jax.default_device / explicit placement — round-3 advisor)
+        return jax.lax.platform_dependent(
+            x,
+            tpu=lambda xx: stem_fused(xx, p["w"], p["scale"], p["bias"]),
+            default=_xla_stem,
         )
-    else:
-        x = conv_bn(x, p, stride=2)
-    return jax.lax.reduce_window(
-        x,
-        -jnp.inf,
-        jax.lax.max,
-        window_dimensions=(1, 3, 3, 1),
-        window_strides=(1, 2, 2, 1),
-        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    return _xla_stem(x)
 
 
 @jax.jit
@@ -213,6 +232,15 @@ def init_resnet50_params(key: jax.Array, include_res5: bool = True) -> Params:
     schema the Caffe2/torch weight converters fill in."""
     keys = iter(jax.random.split(key, 64))
     params: Params = {"stem": _conv_bn_params(next(keys), 7, 7, 3, 64)}
+    # Input-scale compensation: the data convention is Caffe2 BGR 0-255 with
+    # mean subtraction ONLY (no std division, ``defaults.py:51-55``), so the
+    # stem sees inputs with std ~64. Trained COCO weights absorb that scale;
+    # a plain He init propagates it unchanged through the (variance-
+    # preserving) trunk, giving 2048-d head features with norms ~5000 and
+    # head logits in the hundreds — which made the SGD-baseline test diverge
+    # and wastes bf16 mantissa range on TPU. Fold 1/64 into the stem so
+    # random-init activations are unit-scale like a trained network's.
+    params["stem"]["w"] = params["stem"]["w"] / 64.0
     cin = 64
     for si, (n_blocks, (mid, cout)) in enumerate(zip(R50_STAGES, STAGE_CHANNELS)):
         name = f"res{si + 2}"

@@ -146,7 +146,16 @@ def _jit_chunk_split(chunk: int, iterations: int, batch_size: int,
         scnt = jax.lax.dynamic_slice_in_dim(counts, lo, chunk, axis=0)
         pool = dacc.Pool(sub, scnt)
         if mode == "shuffle":  # SHUFFLE_NEGATIVES=True
-            return dacc.shuffle_split(key, pool, iterations, batch_size)
+            # per-class keys from ABSOLUTE class indices: the shuffle is
+            # invariant to the window boundary `lo`, so multi-chip runs
+            # (chunk rounded to a mesh multiple) draw the same per-class
+            # streams as single-chip
+            kcls = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                lo + jnp.arange(chunk)
+            )
+            return dacc.shuffle_split(
+                key, pool, iterations, batch_size, class_keys=kcls
+            )
         if mode == "interleave":  # SHUFFLE_NEGATIVES=False round-robin analog
             return dacc.interleave_split(pool, iterations, batch_size)
         # "arrival": consecutive arrival-order batches (segmentation pools,
@@ -181,20 +190,28 @@ def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
         chunk = -(-chunk // n_dev) * n_dev
     chunk = min(chunk, c)
     split_fn = _jit_chunk_split(chunk, iterations, batch_size, mode)
+    # per-class training keys from ABSOLUTE class indices (not the chunk
+    # window): single- and multi-chip runs (whose chunk is rounded up to a
+    # mesh multiple, shifting the windows) train every class with bitwise-
+    # identical PRNG streams (round-3 advisor finding)
+    k_split, k_train = jax.random.split(key)
+    all_keys = jax.vmap(lambda i: jax.random.fold_in(k_train, i))(
+        jnp.arange(c)
+    )
     centers_parts, alpha_parts, exists_parts = [], [], []
     lo = 0
     while lo < c:
         lo_eff = min(lo, c - chunk)
         drop = lo - lo_eff  # overlap classes already trained
         neg, neg_valid = split_fn(
-            jax.random.fold_in(key, lo_eff), neg_pool.rows, neg_pool.counts,
-            lo_eff,
+            k_split, neg_pool.rows, neg_pool.counts, lo_eff,
         )
         model = train_classifiers_minibootstrap(
-            jax.random.fold_in(key, 1000 + lo_eff),
+            jax.random.fold_in(k_train, 1000 + lo_eff),
             pos[lo_eff : lo_eff + chunk], pos_valid[lo_eff : lo_eff + chunk],
             neg, neg_valid, params, stats=stats, mesh=mesh,
             axis_name=axis_name,
+            class_keys=all_keys[lo_eff : lo_eff + chunk],
         )
         neg = neg_valid = None
         centers_parts.append(model.centers[drop:])
@@ -209,22 +226,69 @@ def _train_head_chunked(key, neg_pool, pos, pos_valid, params, stats,
     )
 
 
-def solver_program_shapes(cfg: OnlineTrainConfig):
+def reservoir_spec(
+    cfg: OnlineTrainConfig,
+    gt_cap: int = 20,
+    batch_size: int = 1,
+    npick: int = 64,
+    hcfg: Optional[HarvestConfig] = None,
+) -> Dict:
+    """The exact ``init_reservoirs`` kwargs :func:`harvest_dataset_device`
+    builds for this configuration — the single source of truth for the pool
+    shapes, shared with :func:`solver_program_shapes` so the warmed solver
+    executables match the reservoirs BY CONSTRUCTION (the round-3 advisor
+    found the warm-up deriving P from ``cfg.*_pos_cap`` while the real pools
+    carry ``cap + scratch`` rows, turning every warm into a silent miss)."""
+    hcfg = hcfg or HarvestConfig(
+        num_anchor_classes=cfg.num_anchor_classes,
+        num_classes=cfg.num_classes,
+        negatives_to_pick=npick, gt_cap=gt_cap,
+    )
+    return dict(
+        num_anchor_classes=cfg.num_anchor_classes,
+        num_classes=cfg.num_classes,
+        neg_cap=cfg.batch_size * cfg.iterations,
+        rpn_pos_cap=cfg.rpn_pos_cap,
+        det_pos_cap=cfg.det_pos_cap,
+        coxy_cap=cfg.coxy_cap,
+        mask_cap=cfg.segm_batch_size * 2,
+        mask_pos_cap=cfg.segm_pos_cap,
+        chunk_sizes={
+            "npick": hcfg.negatives_to_pick, "rpn_pos": hcfg.rpn_pos_cap,
+            "gt_cap": hcfg.gt_cap, "coxy": hcfg.coxy_cap,
+            "mask_pix": hcfg.mask_pix_cap,
+        },
+        with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
+        batch_size=batch_size,
+    )
+
+
+def solver_program_shapes(
+    cfg: OnlineTrainConfig, gt_cap: int = 20, batch_size: int = 1
+):
     """The (C, P, I, B, d) pool shapes of the three head minibootstrap
     programs that :func:`train_online_modules_device` will execute for this
-    config — the contract between the reservoirs, the chunk splitter, and
-    the solver. Feature dims are architecture constants: 2048-d res5+avgpool
-    detector features (``box_head_getProposals.py:113-115``), 1024-d RPN conv
-    features, 256-d conv5_mask pixel features (SURVEY.md §2.4)."""
+    config — derived from the ACTUAL reservoir shapes (``jax.eval_shape``
+    over :func:`reservoir_spec`, zero allocation), so P includes the pools'
+    batch-append scratch rows and the segmentation iteration count follows
+    the real mask pool capacity. ``gt_cap``/``batch_size`` must match the
+    harvest call (they size the scratch margins). Feature dims are
+    architecture constants: 2048-d res5+avgpool detector features
+    (``box_head_getProposals.py:113-115``), 1024-d RPN conv features, 256-d
+    conv5_mask pixel features (SURVEY.md §2.4). ``negatives_to_pick`` only
+    pads the negative pools' scratch, which the chunk splitter never reads
+    past — it does not enter the solver signature."""
+    spec = reservoir_spec(cfg, gt_cap=gt_cap, batch_size=batch_size)
+    res = jax.eval_shape(lambda: dacc.init_reservoirs(**spec))
+
     def chunk(c):
         ck = cfg.solver_class_chunk
         return c if not ck or ck <= 0 else min(ck, c)
 
-    seg_iters = max(1, -(-cfg.segm_batch_size * 2 // cfg.segm_batch_size))
     shapes = {
         "detector": (
-            chunk(cfg.num_classes), cfg.det_pos_cap, cfg.iterations,
-            cfg.batch_size, 2048,
+            chunk(cfg.num_classes), res.det_pos.rows.shape[1],
+            cfg.iterations, cfg.batch_size, 2048,
             MinibootstrapParams(
                 m=cfg.det_m, sigma=cfg.det_sigma, lam=cfg.det_lam,
                 hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh),
@@ -232,15 +296,20 @@ def solver_program_shapes(cfg: OnlineTrainConfig):
     }
     if cfg.with_rpn:
         shapes["rpn"] = (
-            chunk(cfg.num_anchor_classes), cfg.rpn_pos_cap, cfg.iterations,
-            cfg.batch_size, 1024,
+            chunk(cfg.num_anchor_classes), res.rpn_pos.rows.shape[1],
+            cfg.iterations, cfg.batch_size, 1024,
             MinibootstrapParams(
                 m=cfg.rpn_m, sigma=cfg.rpn_sigma, lam=cfg.rpn_lam,
                 hard_thresh=cfg.hard_thresh, easy_thresh=cfg.easy_thresh),
         )
     if cfg.with_segmentation:
+        # train_online_modules_device derives the segmentation iteration
+        # count from the mask pool's FULL row count (cap + scratch)
+        seg_iters = max(
+            1, -(-res.mask_neg.rows.shape[1] // cfg.segm_batch_size)
+        )
         shapes["segm"] = (
-            chunk(cfg.num_classes), cfg.segm_pos_cap, seg_iters,
+            chunk(cfg.num_classes), res.mask_pos.rows.shape[1], seg_iters,
             cfg.segm_batch_size, 256,
             MinibootstrapParams(
                 m=cfg.segm_m, sigma=cfg.segm_sigma, lam=cfg.segm_lam,
@@ -249,7 +318,12 @@ def solver_program_shapes(cfg: OnlineTrainConfig):
     return shapes
 
 
-def warm_solver_programs(cfg: OnlineTrainConfig, background: bool = True):
+def warm_solver_programs(
+    cfg: OnlineTrainConfig,
+    background: bool = True,
+    gt_cap: int = 20,
+    batch_size: int = 1,
+):
     """AOT-compile and device-load the minibootstrap executables that
     :func:`train_online_modules_device` will run for ``cfg``.
 
@@ -265,7 +339,8 @@ def warm_solver_programs(cfg: OnlineTrainConfig, background: bool = True):
     from online_detection_tpu.solvers.minibootstrap import warm_train_program
 
     threads = []
-    for _name, (c, p, i, b, d, params) in solver_program_shapes(cfg).items():
+    shapes = solver_program_shapes(cfg, gt_cap=gt_cap, batch_size=batch_size)
+    for _name, (c, p, i, b, d, params) in shapes.items():
         if background:
             t = threading.Thread(
                 target=warm_train_program, args=(c, p, i, b, d, params),
@@ -322,18 +397,7 @@ def harvest_dataset_device(
         b = int(np.ceil(b / n_dev)) * n_dev  # batch must tile the mesh
 
     state = dacc.init_reservoirs(
-        cfg.num_anchor_classes, cfg.num_classes, neg_cap,
-        rpn_pos_cap=cfg.rpn_pos_cap,
-        det_pos_cap=cfg.det_pos_cap,
-        coxy_cap=cfg.coxy_cap,
-        mask_cap=cfg.segm_batch_size * 2,
-        mask_pos_cap=cfg.segm_pos_cap,
-        chunk_sizes={
-            "npick": npick, "rpn_pos": hcfg.rpn_pos_cap, "gt_cap": gt_cap,
-            "coxy": hcfg.coxy_cap, "mask_pix": hcfg.mask_pix_cap,
-        },
-        with_rpn=cfg.with_rpn, with_mask=cfg.with_segmentation,
-        batch_size=b,
+        **reservoir_spec(cfg, gt_cap=gt_cap, batch_size=b, hcfg=hcfg)
     )
     if b >= 32 and dcfg.roi_chunk is None:
         # bound the RoIAlign separable intermediate at large canvas batches

@@ -295,6 +295,26 @@ def _make_train_program_sharded(mesh, axis_name: str, unrolled: bool = True):
 # registry before falling back to the jit path.
 _AOT_PROGRAMS: dict = {}
 _AOT_EXEC_LOCK = threading.Lock()  # serialize throwaway runs (HBM + device)
+# observability: how many production solver calls hit a warmed executable —
+# the warm-up is a silent no-op if this stays 0 (round-3 advisor finding)
+AOT_HITS: int = 0
+
+
+def evict_aot_programs() -> int:
+    """Drop every warmed executable from the registry (and with it the
+    backend's reference to the loaded program). Returns the number evicted.
+
+    The FAILED_PRECONDITION executable-lifecycle failure (round-3 verdict):
+    a process that has loaded ~15 large executables (the unrolled
+    minibootstraps serialize to ~120 MB each) can fail the NEXT large
+    program load on the real backend. ``jax.clear_caches()`` releases
+    jit-held executables but NOT this registry; production processes that
+    harvest, train, and serve sequentially should evict between phases (or
+    rely on :func:`online_detection_tpu.utils.compile_cache.
+    run_with_executable_recovery`, which evicts and retries on that error)."""
+    n = len(_AOT_PROGRAMS)
+    _AOT_PROGRAMS.clear()
+    return n
 
 
 def _aot_signature(args, params):
@@ -371,6 +391,8 @@ def _train_all_classes(keys, pos, pos_valid, neg, neg_valid, stats, params,
     if mesh is None:
         compiled = _AOT_PROGRAMS.get(_aot_signature(args, params))
         if compiled is not None:
+            global AOT_HITS
+            AOT_HITS += 1
             (alpha, centers), exists, _ = compiled(*args)
             return centers, alpha, exists
         program = _make_train_program(
@@ -428,8 +450,17 @@ def train_classifiers_minibootstrap(
     class_chunk=None,
     mesh=None,
     axis_name: str = "mb",
+    class_keys=None,
 ) -> FalkonModel:
     """Train all C classifiers concurrently. Returns a class-batched model.
+
+    ``class_keys``: optional per-class PRNG keys [C]. When given, class i
+    trains with class_keys[i] regardless of padding or chunk boundaries —
+    callers that window the class axis (``_train_head_chunked``) derive
+    these from ABSOLUTE class indices so multi-chip runs (whose chunk is
+    rounded up to a mesh multiple) use bitwise-identical per-class streams
+    to single-chip (round-3 advisor finding). When None, keys are split from
+    ``key`` over the (padded) class count.
 
     ``stats``: optional FeatureStats — when given, features are z-scored
     INSIDE the jitted program (shared across classes), avoiding a persistent
@@ -465,7 +496,12 @@ def train_classifiers_minibootstrap(
             neg = jnp.pad(neg, widths(neg))
             neg_valid = jnp.pad(neg_valid, widths(neg_valid))
     cp = pos.shape[0]
-    keys = jax.random.split(key, cp)
+    if class_keys is not None:
+        keys = class_keys
+        if keys.shape[0] < cp:  # mesh padding beyond the provided classes
+            keys = jnp.concatenate([keys, jax.random.split(key, cp - keys.shape[0])])
+    else:
+        keys = jax.random.split(key, cp)
     if class_chunk is None or class_chunk >= cp:
         centers, alpha, exists = _train_all_classes(
             keys, pos, pos_valid, neg, neg_valid, stats, params,

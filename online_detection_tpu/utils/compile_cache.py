@@ -66,3 +66,47 @@ def is_stale_cache_error(err: BaseException) -> bool:
     return "libtpu version mismatch" in msg or (
         "FAILED_PRECONDITION" in msg and "AOT" in msg
     )
+
+
+def is_executable_lifecycle_error(err: BaseException) -> bool:
+    """The round-3 failure class: a process that has loaded many large
+    executables (the unrolled minibootstraps serialize to ~120 MB each) hits
+    ``FAILED_PRECONDITION: TPU backend error`` on the next big program load
+    — distinct from the stale-AOT-cache FAILED_PRECONDITION above."""
+    return "FAILED_PRECONDITION" in str(err) and not is_stale_cache_error(err)
+
+
+def run_with_executable_recovery(fn, *args, retries: int = 1, **kwargs):
+    """Call ``fn``; on an executable-lifecycle FAILED_PRECONDITION, evict the
+    process's executable population — the AOT solver registry
+    (:func:`online_detection_tpu.solvers.minibootstrap.evict_aot_programs`)
+    AND every jit-held executable (``jax.clear_caches()``) — then retry.
+
+    ``fn`` must be re-runnable from scratch (it is re-invoked with the same
+    arguments; any donated/consumed device buffers must be rebuilt inside
+    it). Long-lived production processes that harvest, train, and serve
+    sequentially walk the same executable population as the bench; this is
+    the framework-level detection + eviction + retry for that class."""
+    import gc
+    import logging
+
+    for attempt in range(retries + 1):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # noqa: BLE001 — filtered below
+            if attempt >= retries or not is_executable_lifecycle_error(e):
+                raise
+            import jax
+
+            from online_detection_tpu.solvers.minibootstrap import (
+                evict_aot_programs,
+            )
+
+            n = evict_aot_programs()
+            jax.clear_caches()
+            gc.collect()
+            logging.getLogger("online_detection_tpu").warning(
+                "FAILED_PRECONDITION (executable lifecycle): evicted %d AOT "
+                "programs + jit caches, retrying (%d/%d): %r",
+                n, attempt + 1, retries, e,
+            )

@@ -259,3 +259,60 @@ def test_chunk_split_modes(rng):
     np.testing.assert_array_equal(
         np.asarray(arr[0, 0, :, 0]), np.arange(24, 29)  # consecutive
     )
+
+
+def test_warm_solver_programs_hit_production_signature():
+    """Round-3 advisor (medium): warm_solver_programs derived its pool
+    shapes from ``cfg.*_pos_cap`` while the reservoirs
+    ``train_online_modules_device`` actually trains on carry ``cap +
+    batch-append scratch`` rows, so the AOT signature never matched and
+    every warm was a silent no-op (production paid the 35-90 s lazy
+    executable upload anyway). Now both sides derive shapes from
+    ``reservoir_spec`` by construction; this test warms, then runs the real
+    training entry on reservoirs built exactly like harvest_dataset_device
+    builds them, and asserts every chunked solver call hit a warmed
+    executable."""
+    from online_detection_tpu.pipelines import device_pipeline as dpipe
+    from online_detection_tpu.pipelines.online_pipeline import OnlineTrainConfig
+    from online_detection_tpu.solvers import minibootstrap as mb
+
+    cfg = OnlineTrainConfig(
+        num_classes=3, num_anchor_classes=2, det_m=4, rpn_m=4, segm_m=4,
+        iterations=2, batch_size=8, segm_batch_size=16,
+        rpn_pos_cap=8, det_pos_cap=8, coxy_cap=64, segm_pos_cap=16,
+        solver_class_chunk=2,
+        shuffle_negatives=True, rpn_shuffle_negatives=True,
+    )
+    gt_cap, b = 2, 2
+    dpipe.warm_solver_programs(cfg, background=False, gt_cap=gt_cap, batch_size=b)
+
+    state = dacc.init_reservoirs(
+        **dpipe.reservoir_spec(cfg, gt_cap=gt_cap, batch_size=b)
+    )
+    # a few valid rows per pool so every stage trains non-degenerate models
+    def fill(pool, n):
+        if pool is None:
+            return None
+        rows = pool.rows
+        c = rows.shape[0]
+        rng_l = np.random.default_rng(1)
+        filled = rows.at[:, :n].set(
+            jnp.asarray(rng_l.normal(size=(c, n, rows.shape[2])).astype(np.float32))
+        )
+        return pool._replace(rows=filled, counts=jnp.full((c,), n, jnp.int32))
+
+    state = state._replace(
+        rpn_pos=fill(state.rpn_pos, 4), rpn_neg=fill(state.rpn_neg, 8),
+        rpn_coxy_y=fill(state.rpn_coxy_y, 4),
+        det_pos=fill(state.det_pos, 4), det_neg=fill(state.det_neg, 8),
+        det_coxy=fill(state.det_coxy, 8),
+        mask_pos=fill(state.mask_pos, 8), mask_neg=fill(state.mask_neg, 16),
+    )
+    hits0 = mb.AOT_HITS
+    online = dpipe.train_online_modules_device(jax.random.key(0), [state], cfg)
+    assert online.detector is not None
+    # chunk=2: rpn c=2 -> 1 window; det c=3 -> 2 windows; segm c=3 -> 2
+    assert mb.AOT_HITS - hits0 == 5, (
+        f"expected every chunked solver call to hit a warmed executable, "
+        f"got {mb.AOT_HITS - hits0}/5 hits"
+    )
