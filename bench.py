@@ -37,6 +37,22 @@ over the tunnel even on a compile-cache HIT (BASELINE.md). The bench now
 AOT-compiles AND device-loads them (plus both RLS programs) on background
 threads while the mmv/throughput stages run in the foreground, so the
 solver stages pay neither compile nor upload when their turn comes.
+
+Process structure (round-4 redesign after BENCH_r03's composed stage died
+``FAILED_PRECONDITION`` on the real chip): the top-level invocation is a
+thin ORCHESTRATOR that runs (1) every per-stage metric in one child process
+(``--stages``), then (2) the composed extraction+training headline in a
+SECOND, fresh child (``--composed``) whose executable population is exactly
+the production flagship run's — the round-3 failure was the accumulated
+~15 large executables of the per-stage sweep, and the composed stage passes
+in an isolated process (verified on hardware; production deployments run
+the flagship pipeline as its own process too). Both children share the
+persistent compile cache, so the split costs re-uploads, not re-compiles.
+The composed child additionally wraps its run in
+``run_with_executable_recovery`` (evict AOT registry + jit caches, retry
+once) as in-process defense. If the composed child still fails, the
+orchestrator emits the stage-sum ESTIMATE with ``complete: false`` —
+estimates are never labeled complete (round-3 verdict, weak #2).
 """
 
 import json
@@ -95,8 +111,10 @@ def _purge_cache(reason: str):
     _purge_cache_dir(CACHE_DIR)
 
 
-def main():
-    deadline = _deadline()
+def _init_tpu_backend(deadline: float):
+    """Import JAX, insist on the TPU backend (bounded retry — the chip may
+    be briefly held by a sibling bench child that just exited), and enable
+    the persistent compile cache. Returns (jax, jnp)."""
     import jax
     import jax.numpy as jnp
 
@@ -122,6 +140,12 @@ def main():
     # across runs is safe and makes repeat benches compile-free
     jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return jax, jnp
+
+
+def run_stages():
+    deadline = _deadline()
+    jax, jnp = _init_tpu_backend(deadline)
 
     from online_detection_tpu.ops.gaussian_mmv import mmv
     from online_detection_tpu.pipelines.online_pipeline import OnlineTrainConfig
@@ -574,50 +598,111 @@ def main():
              complete=complete, baseline_note=BASELINE_NOTE)
     elif solver_dt is None:
         raise SystemExit("bench: no solver stage completed before deadline")
+    # headline B (the composed extraction+training wall-clock) runs in a
+    # FRESH child process — see main()'s orchestration and the module
+    # docstring for why (round-3 FAILED_PRECONDITION executable-population
+    # failure when it ran at the tail of this process).
 
-    # ---- headline B (LAST): composed extraction + training ----
-    # Drop every buffer AND every jit executable the earlier stages loaded:
-    # the composed stage passes in an isolated process (even with the AOT
-    # registry populated) but a full-bench run fails FAILED_PRECONDITION at
-    # its detector stage — the accumulated program/scratch state of ~15
-    # prior executables (the unrolled minibootstraps alone are ~120 MB each)
-    # plus the flagship reservoirs is what differs. clear_caches() releases
-    # the jit-held executables; the AOT registry (a plain dict of compiled
-    # objects the composed training re-executes) survives, and the composed
-    # stage's own programs reload through the persistent compile cache.
-    import gc
 
-    rls_det_thunk = rls_rpn_thunk = None
-    gc.collect()
-    jax.clear_caches()
-    composed = None
-    if _remaining(deadline) > 150:
-        try:
-            composed = run_composed_flagship(jax, jnp, FCFG, deadline)
-        except Exception as e:
-            print(f"# bench: composed stage failed: {e!r}", file=sys.stderr)
-    if composed is not None:
-        dt, n_imgs, extract_dt, train_dt = composed
-        emit("total_online_training_flagship", dt, "s",
-             vs_baseline=BASELINE_SECONDS / dt,
-             n_images=n_imgs, extraction_s=round(extract_dt, 3),
-             training_s=round(train_dt, 3), complete=complete,
-             measured="end_to_end", baseline_note=BASELINE_NOTE +
-             f"; includes CNN extraction of {n_imgs} imgs (reference's "
-             "per-image loop alone needs ~300s for these at 5 imgs/s); on "
-             "this tunneled dev chip both halves are dominated by per-"
-             "dispatch host round-trips (~50ms each), not device time - "
-             "the solver-only headline above is the device-time number")
+def run_composed_main():
+    """``--composed`` child: the composed flagship headline in a process
+    whose executable population is exactly the production pipeline's.
+    Wrapped in run_with_executable_recovery as in-process defense."""
+    deadline = _deadline()
+    jax, jnp = _init_tpu_backend(deadline)
+    from online_detection_tpu.pipelines.online_pipeline import OnlineTrainConfig
+    from online_detection_tpu.utils.compile_cache import (
+        run_with_executable_recovery,
+    )
+
+    fcfg = OnlineTrainConfig(shuffle_negatives=True, rpn_shuffle_negatives=True)
+    composed = run_with_executable_recovery(
+        run_composed_flagship, jax, jnp, fcfg, deadline
+    )
+    if composed is None:
+        raise SystemExit("bench: composed run skipped on deadline")
+    dt, n_imgs, extract_dt, train_dt = composed
+    emit("total_online_training_flagship", dt, "s",
+         vs_baseline=BASELINE_SECONDS / dt,
+         n_images=n_imgs, extraction_s=round(extract_dt, 3),
+         training_s=round(train_dt, 3), complete=True,
+         measured="end_to_end", baseline_note=BASELINE_NOTE +
+         f"; includes CNN extraction of {n_imgs} imgs (reference's "
+         "per-image loop alone needs ~300s for these at 5 imgs/s); on "
+         "this tunneled dev chip both halves are dominated by per-"
+         "dispatch host round-trips (~50ms each), not device time - "
+         "the solver-only headline is the device-time number")
+
+
+def _stream_child(argv, env):
+    """Run a child, tee its stdout through (so every metric line it emits is
+    also this process's output), and return {metric: record} parsed from the
+    JSON lines plus the exit code."""
+    import subprocess
+
+    records = {}
+    proc = subprocess.Popen(
+        argv, env=env, stdout=subprocess.PIPE, stderr=None, text=True
+    )
+    assert proc.stdout is not None
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+                if isinstance(rec, dict) and "metric" in rec:
+                    records[rec["metric"]] = rec
+            except json.JSONDecodeError:
+                pass
+    return records, proc.wait()
+
+
+def main():
+    """Orchestrator: stages child, then a fresh composed child; always ends
+    with the ``total_online_training_flagship`` line (measured end-to-end
+    from the composed child, or an estimate labeled ``complete: false``)."""
+    deadline = _deadline()
+    # reserve tail budget for the composed child (its warm-up re-uploads the
+    # trunk/accumulate/solver executables through the persistent cache)
+    reserve = float(os.environ.get("ODTPU_BENCH_COMPOSED_RESERVE", "200"))
+    stages_deadline = max(time.time() + 90.0, deadline - reserve)
+    env = dict(os.environ, ODTPU_BENCH_DEADLINE=str(stages_deadline))
+    stage_recs, rc = _stream_child(
+        [sys.executable, os.path.abspath(__file__), "--stages"], env
+    )
+    if rc != 0:
+        print(f"# bench: stages child exited rc={rc}", file=sys.stderr)
+
+    composed_recs = {}
+    if _remaining(deadline) > 60:
+        env2 = dict(os.environ, ODTPU_BENCH_DEADLINE=str(deadline))
+        composed_recs, rc2 = _stream_child(
+            [sys.executable, os.path.abspath(__file__), "--composed"], env2
+        )
+        if rc2 != 0:
+            print(f"# bench: composed child exited rc={rc2}", file=sys.stderr)
     else:
-        # estimate from the measured pieces so the LAST line is always the
-        # composed headline; flagged estimated, vs_baseline only if complete
-        ips = stage_times.get("harvest_ips")
-        est = (COMPOSED_IMAGES / ips if ips else 0.0) + solver_dt
-        est_complete = complete and ips is not None
-        emit("total_online_training_flagship", est, "s",
-             vs_baseline=(BASELINE_SECONDS / est) if est_complete else None,
-             n_images=COMPOSED_IMAGES, complete=est_complete,
-             measured="estimated_from_stages", baseline_note=BASELINE_NOTE)
+        print("# bench: composed child skipped (deadline)", file=sys.stderr)
+
+    if "total_online_training_flagship" in composed_recs:
+        return  # the composed child already emitted the measured headline
+    # estimate from the stages child's records so the LAST line is always
+    # the composed headline — NEVER labeled complete (it is an estimate)
+    solver = stage_recs.get("online_modules_training_time_flagship_scale", {})
+    harvest = stage_recs.get("harvest_throughput_600px", {})
+    solver_dt = float(solver.get("value", 0.0))
+    ips = float(harvest["value"]) if "value" in harvest else None
+    est = (COMPOSED_IMAGES / ips if ips else 0.0) + solver_dt
+    all_pieces = bool(solver.get("complete")) and ips is not None
+    if est <= 0.0:
+        raise SystemExit("bench: no metric landed for the headline estimate")
+    emit("total_online_training_flagship", est, "s",
+         vs_baseline=(BASELINE_SECONDS / est) if all_pieces else None,
+         n_images=COMPOSED_IMAGES, complete=False,
+         measured="estimated_from_stages",
+         estimate_covers_all_stages=all_pieces, baseline_note=BASELINE_NOTE)
 
 
 def run_composed_flagship(jax, jnp, FCFG, deadline):
@@ -732,8 +817,14 @@ def run_composed_flagship(jax, jnp, FCFG, deadline):
 
 
 if __name__ == "__main__":
+    if "--stages" in sys.argv:
+        _entry = run_stages
+    elif "--composed" in sys.argv:
+        _entry = run_composed_main
+    else:
+        _entry = main  # orchestrator: runs the two children above
     try:
-        main()
+        _entry()
     except Exception as e:  # stale AOT entries from a different libtpu build
         if _is_stale_cache_error(e) and "ODTPU_BENCH_PURGED" not in os.environ:
             _purge_cache(f"stale AOT entry: {type(e).__name__}")

@@ -83,7 +83,17 @@ class DetectorConfig(NamedTuple):
 
 
 def resolve_compute_dtype(cfg: DetectorConfig) -> str:
-    """None = auto: bfloat16 trunk on TPU, float32 elsewhere (exact tests)."""
+    """None = auto: bfloat16 trunk on TPU, float32 elsewhere (exact tests).
+
+    ``ODTPU_COMPUTE_DTYPE=float32|bfloat16`` overrides the auto-resolution —
+    the quality-first escape hatch (the reference runs everything in f32,
+    ``mrcnn_modified/config/defaults.py:466``; the bf16 trunk is this
+    framework's throughput default on TPU)."""
+    import os
+
+    env = os.environ.get("ODTPU_COMPUTE_DTYPE")
+    if env:
+        return env
     if cfg.compute_dtype is not None:
         return cfg.compute_dtype
     return "bfloat16" if jax.default_backend() == "tpu" else "float32"
