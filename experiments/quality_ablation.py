@@ -46,8 +46,13 @@ MODES = {
     ),
     # isolate trunk dtype on TPU
     "tpu-device-f32trunk": ([], {"ODTPU_COMPUTE_DTYPE": "float32"}),
-    # isolate matmul precision on TPU (bf16 trunk kept)
-    "tpu-device-highest": ([], {"JAX_DEFAULT_MATMUL_PRECISION": "highest"}),
+    # isolate matmul precision on TPU (bf16 trunk kept; fused Pallas stem
+    # disabled — the global precision flag used to leak fp32 contract
+    # precision onto its bf16 Mosaic matmuls)
+    "tpu-device-highest": (
+        [],
+        {"JAX_DEFAULT_MATMUL_PRECISION": "highest", "ODTPU_FUSED_STEM": "0"},
+    ),
     # full quality-first configuration on TPU
     "tpu-device-f32trunk-highest": (
         [],

@@ -144,17 +144,22 @@ def mask_predict_labels(
 
     def score_chunk(args):
         f, idx = args  # [c, P, ch], [c]
+        from online_detection_tpu.ops.gaussian_mmv import kernel_precision
+
+        hp = kernel_precision()  # see there: the TPU bf16-pass default
+        # corrupts the cancelled distance cross term and the K@alpha sum
         centers = models.falkon.centers[idx]  # [c, M, ch]
         alpha = models.falkon.alpha[idx]  # [c, M]
         sq = (
             jnp.sum(f * f, axis=-1)[:, :, None]
             + jnp.sum(centers * centers, axis=-1)[:, None, :]
             - 2.0 * jnp.einsum("cpk,cmk->cpm", f, centers,
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=hp)
         )
         k = jnp.exp(-jnp.maximum(sq, 0.0) / (2.0 * sigma * sigma))
         return jnp.einsum("cpm,cm->cp", k, alpha,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32, precision=hp)
 
     if r <= roi_chunk:
         scores = score_chunk((flat, cls_idx))  # [R, P]

@@ -56,18 +56,48 @@ def _sq_norms(x: jax.Array) -> jax.Array:
     return jnp.sum(x * x, axis=-1)
 
 
+def kernel_precision():
+    """Matmul precision for the ONLINE-MODEL math: Gaussian-kernel cross
+    terms and the RLS/head applies. Default HIGHEST; override with
+    ``ODTPU_KERNEL_PRECISION=default|high|highest``.
+
+    Why this exists (round-4 root cause of the TPU-vs-CPU quality gap): on
+    TPU, XLA runs f32 matmuls as a SINGLE bf16 pass by default. The Gaussian
+    kernel computes ``||x-c||^2`` via the ``||x||^2+||c||^2-2*x.c``
+    expansion, where the cross term is O(||x||*||c||) while the distance of
+    nearby points is near 0 — the bf16 rounding of ``x.c`` (~0.4% relative)
+    passes through the cancellation at full size and corrupts exactly the
+    near-center kernel values that decide FALKON scores, in minibootstrap
+    hard/easy mining AND at inference. Measured on the real chip at smoke
+    scale: default precision det/segm mAP 0.50/0.50 vs 0.92/0.77 at highest
+    (CPU reference 0.886/0.886); the bf16 conv TRUNK is innocent (f32 trunk
+    + default precision still measures 0.50). The reference runs true-f32
+    CUDA throughout (``mrcnn_modified/config/defaults.py:466``). The conv
+    trunk keeps the platform default — conv quality is insensitive and that
+    is where the FLOPs are."""
+    import os
+
+    env = os.environ.get("ODTPU_KERNEL_PRECISION", "highest").lower()
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[env]
+
+
 def gaussian_kernel(
     x: jax.Array, c: jax.Array, sigma: float, precision=None
 ) -> jax.Array:
-    """Dense K(x, c): [N, d] x [M, d] -> [N, M]. For small problems/tests.
+    """Dense K(x, c): [N, d] x [M, d] -> [N, M].
 
-    ``precision``: optional ``jax.lax.Precision`` for the distance matmul.
-    The TPU default executes f32 matmuls as single bf16 passes — fine for
-    scoring, but for K_MM (whose Cholesky seeds the FALKON preconditioner)
-    the ~1e-3 entry error can exceed the 1e-6*M jitter and make the matrix
-    indefinite (measured: a -7e-4 eigenvalue on a 256-center problem ->
-    Cholesky NaN). ``falkon_fit`` passes HIGHEST for that one [M, M] kernel.
+    ``precision``: ``jax.lax.Precision`` for the distance matmul; None
+    resolves to :func:`kernel_precision` (HIGHEST by default — see there for
+    the measured quality rationale; the same class of error also seeds the
+    FALKON preconditioner: a bf16-pass K_MM measured a -7e-4 eigenvalue on a
+    256-center problem -> indefinite -> Cholesky NaN).
     """
+    if precision is None:
+        precision = kernel_precision()
     sq = (
         _sq_norms(x)[:, None]
         + _sq_norms(c)[None, :]
@@ -91,7 +121,10 @@ def mmv_xla(
     if squeeze:
         v = v[:, None]
     k = gaussian_kernel(x, c, sigma)
-    out = k @ v
+    # K @ alpha at the same precision: FALKON alphas carry sign-alternating
+    # large entries (ridge solutions), so the score sum cancels and a bf16
+    # single-pass error is relative to the TERMS, not the result
+    out = jnp.matmul(k, v, precision=kernel_precision())
     return out[:, 0] if squeeze else out
 
 

@@ -93,6 +93,12 @@ def _stem_kernel(
 
     # conv rows: tile t's conv row k (local, k in [0, 2tr]) is global row
     # 2*tr*t + k - 1 and reads s2d-padded rows (base + k) .. (base + k + 3)
+    # precision pinned EXPLICITLY on every dot: Mosaic rejects an fp32
+    # contract precision on bf16 operands ("Bad lhs type"), so inheriting a
+    # process-global jax_default_matmul_precision=highest must not leak in
+    # (bf16 operands already accumulate in f32 via preferred_element_type)
+    prec = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+
     base = 2 * tr * t
     crows = []
     for k in range(n_conv):
@@ -106,6 +112,7 @@ def _stem_kernel(
                 x4[:, b : b + w2_cols],  # [64, W2]
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=prec,
             )
         c = jnp.maximum(c * scale + bias, 0.0)
         if k == 0:
@@ -134,7 +141,7 @@ def _stem_kernel(
         sel,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST if exact else None,
+        precision=prec,
     )  # [tr*64, W4]
     o_ref[0] = out.reshape(tr, 64, w4).astype(o_ref.dtype)
 

@@ -153,12 +153,15 @@ def falkon_fit(
     # leaves ~1e-3 entry errors that can push K_MM + jitter indefinite and
     # NaN the whole preconditioner (see gaussian_kernel docstring). This is
     # the cheap [M, M] kernel — the N-scale K_NM below keeps the fast path.
+    from online_detection_tpu.ops.gaussian_mmv import kernel_precision
+
+    hp = kernel_precision()  # HIGHEST default — round-4 quality root cause
     k_mm = gaussian_kernel(
         centers, centers, sigma, precision=jax.lax.Precision.HIGHEST
     )  # [M, M]
     t_low = jnp.linalg.cholesky(k_mm + EPS_JITTER * m * jnp.eye(m, dtype=k_mm.dtype))
     # T upper with T^T T = K_MM  ->  T = t_low^T
-    tt_t = t_low.T @ t_low  # = T T^T
+    tt_t = jnp.matmul(t_low.T, t_low, precision=hp)  # = T T^T
     a_low = jnp.linalg.cholesky(tt_t / m + lam * jnp.eye(m, dtype=k_mm.dtype))
 
     def apply_b(v):  # B v = T^{-1} A^{-1} v  (T, A upper => solve with .T)
@@ -196,14 +199,19 @@ def falkon_fit(
     eye = jnp.eye(m, dtype=k_mm.dtype)
     s_mat = jax.scipy.linalg.solve_triangular(a_low, eye, lower=True, trans="T")
     b_mat = jax.scipy.linalg.solve_triangular(t_low, s_mat, lower=True, trans="T")
-    z = k_nm @ b_mat  # [N, M]
+    z = jnp.matmul(k_nm, b_mat, precision=hp)  # [N, M]
     zw = z * wf[:, None]
-    p_mat = (zw.T @ z) / n + lam * (s_mat.T @ s_mat)
-    # zw and z round independently under the TPU's bf16 matmul passes, so
+    p_mat = (
+        jnp.matmul(zw.T, z, precision=hp) / n
+        + lam * jnp.matmul(s_mat.T, s_mat, precision=hp)
+    )
+    # zw and z round independently under reduced-precision matmul passes, so
     # the data term is only PSD up to rounding asymmetry — symmetrize (the
     # [M, M] add is free next to the Gram itself)
     p_mat = 0.5 * (p_mat + p_mat.T)
-    b_rhs = (y.astype(jnp.float32) * wf) @ z / n  # = B^T K_MN W y / n
+    b_rhs = jnp.matmul(
+        y.astype(jnp.float32) * wf, z, precision=hp
+    ) / n  # = B^T K_MN W y / n
     p_low = jnp.linalg.cholesky(p_mat)
     beta = jax.scipy.linalg.cho_solve((p_low, True), b_rhs)
     return apply_b(beta)

@@ -396,11 +396,18 @@ def rls_predict(model: RLSModel, x: jax.Array) -> jax.Array:
     ``rpn.py:151-153``). One einsum replaces the reference's block-diagonal
     packed matmul (``rpn.py:158-187``, ``roi_box_predictors.py:97-124``).
     """
+    # kernel_precision (HIGHEST by default): box deltas are O(0.1) while
+    # |x|*|beta| is O(10^2) — a single-bf16-pass x@beta error lands on the
+    # deltas at full size (round-4 TPU-vs-CPU quality root cause; see
+    # ops/gaussian_mmv.kernel_precision)
+    from online_detection_tpu.ops.gaussian_mmv import kernel_precision
+
+    hp = kernel_precision()
     yw = (
         jnp.einsum("nd,cdk->nck", x, model.beta[:, :-1, :],
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32, precision=hp)
         + model.beta[:, -1, :][None]
     )  # [N, C, 4]
     out = jnp.einsum("nck,ckl->ncl", yw, model.t_inv,
-                     preferred_element_type=jnp.float32) + model.mu[None]
+                     preferred_element_type=jnp.float32, precision=hp) + model.mu[None]
     return jnp.where(model.exists[None, :, None], out, 0.0)
