@@ -61,6 +61,13 @@ MODES = {
             "JAX_DEFAULT_MATMUL_PRECISION": "highest",
         },
     ),
+    # role split (round 4, second pass): which SIDE of the online-model math
+    # actually needs the bf16x3 passes? "solver" = minibootstrap mining +
+    # falkon_fit's K_NM/Z/Gram chain (the training-side bulk FLOPs; 1-pass
+    # default here recovers the solver headline 2.38 s -> ~1.3 s);
+    # "apply" = inference scores + RLS deltas (the quality-deciding outputs).
+    "tpu-solver-default": ([], {"ODTPU_SOLVER_PRECISION": "default"}),
+    "tpu-apply-default": ([], {"ODTPU_APPLY_PRECISION": "default"}),
 }
 
 

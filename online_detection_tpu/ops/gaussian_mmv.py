@@ -56,10 +56,31 @@ def _sq_norms(x: jax.Array) -> jax.Array:
     return jnp.sum(x * x, axis=-1)
 
 
-def kernel_precision():
+#: role -> default matmul precision for the ONLINE-MODEL math. Two roles:
+#:
+#: - ``"apply"``  — quality-deciding score/delta products whose outputs feed
+#:   ranking, NMS, thresholds, and box decoding directly: inference-time
+#:   kernel scores (``falkon_predict[_classes]``, the own-class mask scores)
+#:   and the RLS delta applies. Default HIGH (bf16x3 — f32-equivalent error
+#:   for these ranges).
+#: - ``"solver"`` — the training-side bulk FLOPs: minibootstrap hard/easy
+#:   mining scores and ``falkon_fit``'s K_NM/Z/Gram chain. Also HIGH by
+#:   default; measured on the real chip this is where the precision choice
+#:   costs wall-clock (the solver headline ran 1.26 s at 1-pass DEFAULT vs
+#:   2.38 s at HIGH), so it has its own override knob for quality/speed
+#:   trades. PSD-critical factorization inputs (falkon_fit's K_MM, the RLS
+#:   whitening Grams) are independently pinned HIGHEST in-place and are not
+#:   governed by this table.
+_ROLE_DEFAULTS = {"apply": "high", "solver": "high"}
+
+
+def kernel_precision(role: str = "apply"):
     """Matmul precision for the ONLINE-MODEL math: Gaussian-kernel cross
-    terms and the RLS/head applies. Default HIGHEST; override with
-    ``ODTPU_KERNEL_PRECISION=default|high|highest``.
+    terms and the RLS/head applies, by role (see ``_ROLE_DEFAULTS``).
+
+    Resolution order: ``ODTPU_KERNEL_PRECISION`` (global override, all
+    roles) > ``ODTPU_SOLVER_PRECISION`` / ``ODTPU_APPLY_PRECISION`` (per
+    role) > the role default. Values: ``default|high|highest``.
 
     Why this exists (round-4 root cause of the TPU-vs-CPU quality gap): on
     TPU, XLA runs f32 matmuls as a SINGLE bf16 pass by default. The Gaussian
@@ -68,16 +89,25 @@ def kernel_precision():
     nearby points is near 0 — the bf16 rounding of ``x.c`` (~0.4% relative)
     passes through the cancellation at full size and corrupts exactly the
     near-center kernel values that decide FALKON scores, in minibootstrap
-    hard/easy mining AND at inference. Measured on the real chip at smoke
-    scale: default precision det/segm mAP 0.50/0.50 vs 0.92/0.77 at highest
-    (CPU reference 0.886/0.886); the bf16 conv TRUNK is innocent (f32 trunk
-    + default precision still measures 0.50). The reference runs true-f32
-    CUDA throughout (``mrcnn_modified/config/defaults.py:466``). The conv
-    trunk keeps the platform default — conv quality is insensitive and that
-    is where the FLOPs are."""
+    hard/easy mining AND at inference; the RLS delta applies (O(0.1) deltas
+    from O(10^2) products) cancel the same way. Measured on the real chip at
+    smoke scale: default precision det/segm mAP 0.50/0.50 vs 0.92/0.77 at
+    highest (CPU reference 0.886/0.886); the bf16 conv TRUNK is innocent
+    (f32 trunk + default precision still measures 0.50). HIGH and HIGHEST
+    land the identical smoke mAP while inference b8 costs 11% vs 23% over
+    the corrupted single-pass default (110.7 / 95.3 / 123.4 imgs/s). The
+    reference runs true-f32 CUDA throughout
+    (``mrcnn_modified/config/defaults.py:466``). The conv trunk keeps the
+    platform default — conv quality is insensitive and that is where the
+    FLOPs are."""
     import os
 
-    env = os.environ.get("ODTPU_KERNEL_PRECISION", "highest").lower()
+    env = os.environ.get(
+        "ODTPU_KERNEL_PRECISION",
+        os.environ.get(
+            f"ODTPU_{role.upper()}_PRECISION", _ROLE_DEFAULTS[role]
+        ),
+    ).lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
@@ -91,10 +121,10 @@ def gaussian_kernel(
     """Dense K(x, c): [N, d] x [M, d] -> [N, M].
 
     ``precision``: ``jax.lax.Precision`` for the distance matmul; None
-    resolves to :func:`kernel_precision` (HIGHEST by default — see there for
+    resolves to :func:`kernel_precision` at the "apply" role — see there for
     the measured quality rationale; the same class of error also seeds the
     FALKON preconditioner: a bf16-pass K_MM measured a -7e-4 eigenvalue on a
-    256-center problem -> indefinite -> Cholesky NaN).
+    256-center problem -> indefinite -> Cholesky NaN.
     """
     if precision is None:
         precision = kernel_precision()
@@ -107,24 +137,29 @@ def gaussian_kernel(
     return jnp.exp(-sq / (2.0 * sigma * sigma))
 
 
-@functools.partial(jax.jit, static_argnames=("sigma",))
+@functools.partial(jax.jit, static_argnames=("sigma", "role"))
 def mmv_xla(
-    x: jax.Array, c: jax.Array, v: jax.Array, sigma: float
+    x: jax.Array, c: jax.Array, v: jax.Array, sigma: float,
+    role: str = "apply",
 ) -> jax.Array:
     """K(x, c) @ v through XLA fusion. v: [M, t] (or [M] -> [N]).
 
     Jitted at this boundary so eager callers (bench, notebooks) get the
     fused program rather than per-op dispatch with K materialized in HBM
     (measured 9x slower eager); inside an enclosing jit this is a no-op.
+
+    ``role``: precision role (see :func:`kernel_precision`) — ``"apply"``
+    for inference scores, ``"solver"`` for the minibootstrap mining passes.
     """
     squeeze = v.ndim == 1
     if squeeze:
         v = v[:, None]
-    k = gaussian_kernel(x, c, sigma)
+    prec = kernel_precision(role)
+    k = gaussian_kernel(x, c, sigma, precision=prec)
     # K @ alpha at the same precision: FALKON alphas carry sign-alternating
     # large entries (ridge solutions), so the score sum cancels and a bf16
     # single-pass error is relative to the TERMS, not the result
-    out = jnp.matmul(k, v, precision=kernel_precision())
+    out = jnp.matmul(k, v, precision=prec)
     return out[:, 0] if squeeze else out
 
 
@@ -250,10 +285,12 @@ def mmv(
     v: jax.Array,
     sigma: float,
     use_pallas: Optional[bool] = None,
+    role: str = "apply",
 ) -> jax.Array:
     """Dispatching K(x,c)@v. XLA fusion by default (measured faster than the
     hand kernel at every production shape — see module docstring); the Pallas
-    kernel is opt-in."""
+    kernel is opt-in. ``role`` selects the precision role (see
+    :func:`kernel_precision`)."""
     if use_pallas:
         return mmv_pallas(x, c, v, sigma)
-    return mmv_xla(x, c, v, sigma)
+    return mmv_xla(x, c, v, sigma, role=role)

@@ -86,8 +86,11 @@ def _falkon_fit_fn(key, cache_x, y, cache_is_pos, cache_valid, params):
 
 
 def _falkon_score_fn(model, x, params):
+    # mining scores run at the "solver" precision role: they decide WHICH
+    # negatives enter the cache (a selection, not a user-facing score), and
+    # they are ~35% of the solver's matmul FLOPs (see kernel_precision)
     alpha, centers = model
-    return mmv_xla(x, centers, alpha, params.sigma)
+    return mmv_xla(x, centers, alpha, params.sigma, role="solver")
 
 
 def _falkon_init_fn(p_cap, d, params):
