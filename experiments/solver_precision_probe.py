@@ -1,0 +1,87 @@
+"""Measure the minibootstrap solver stages vs ODTPU_SOLVER_PRECISION.
+
+The round-4 quality fix (ops/gaussian_mmv.kernel_precision) defaults the
+"solver" role to HIGH (bf16x3). The first full-bench run at the new
+defaults measured the segmentation minibootstrap at 1.23 s warm vs 0.11 s
+in BENCH_r03 (old single-pass numerics) — far beyond the ~2x the detector
+headline measurement suggested — so this probe times each head's
+PRODUCTION AOT program per precision setting, one subprocess per setting
+(precision is resolved at trace time from the env).
+
+Run on the real TPU:  python experiments/solver_precision_probe.py
+One setting (child):  ODTPU_SOLVER_PRECISION=high python ... --one
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def run_one():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+    from online_detection_tpu.utils.compile_cache import default_cache_dir
+    jax.config.update("jax_compilation_cache_dir", default_cache_dir())
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from online_detection_tpu.pipelines.device_pipeline import (
+        solver_program_shapes,
+    )
+    from online_detection_tpu.pipelines.online_pipeline import (
+        OnlineTrainConfig,
+    )
+    from online_detection_tpu.solvers.minibootstrap import (
+        train_classifiers_minibootstrap,
+        warm_train_program,
+    )
+
+    cfg = OnlineTrainConfig(
+        shuffle_negatives=True, rpn_shuffle_negatives=True
+    )
+    shapes = solver_program_shapes(cfg, gt_cap=8, batch_size=8)
+    setting = os.environ.get("ODTPU_SOLVER_PRECISION", "<role default>")
+    rng = np.random.default_rng(0)
+    out = {"solver_precision": setting}
+    for name, (c, p, i, b, d, params) in shapes.items():
+        warm_train_program(c, p, i, b, d, params)
+        key = jax.random.key(1)
+        pos = jnp.asarray(
+            rng.normal(size=(c, p, d)).astype(np.float32) + 1.0)
+        posv = jnp.asarray(np.arange(p)[None, :] < min(p, 500)).repeat(
+            c, axis=0)
+        neg = jnp.asarray(
+            rng.normal(size=(c, i, b, d)).astype(np.float32) - 1.0)
+        negv = jnp.ones((c, i, b), bool)
+
+        def fit():
+            m = train_classifiers_minibootstrap(
+                key, pos, posv, neg, negv, params)
+            jax.device_get(m.alpha)
+
+        fit()  # load/upload
+        t0 = time.perf_counter()
+        fit()
+        out[name] = round(time.perf_counter() - t0, 4)
+    print(json.dumps(out), flush=True)
+
+
+def main():
+    for setting in ("default", "high", "highest"):
+        env = dict(os.environ, ODTPU_SOLVER_PRECISION=setting)
+        subprocess.call(
+            [sys.executable, os.path.abspath(__file__), "--one"], env=env)
+
+
+if __name__ == "__main__":
+    if "--one" in sys.argv:
+        run_one()
+    else:
+        main()
