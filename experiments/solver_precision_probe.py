@@ -49,9 +49,15 @@ def run_one():
     shapes = solver_program_shapes(cfg, gt_cap=8, batch_size=8)
     setting = os.environ.get("ODTPU_SOLVER_PRECISION", "<role default>")
     rng = np.random.default_rng(0)
-    out = {"solver_precision": setting}
-    for name, (c, p, i, b, d, params) in shapes.items():
+    # SMALLEST head first and one JSON line per head, flushed immediately —
+    # a slow-tunnel day can spend many minutes per executable upload, so a
+    # killed run must still leave partial data
+    order = [k for k in ("segm", "rpn", "detector") if k in shapes]
+    for name in order:
+        c, p, i, b, d, params = shapes[name]
+        t_w0 = time.perf_counter()
         warm_train_program(c, p, i, b, d, params)
+        setup_s = time.perf_counter() - t_w0
         key = jax.random.key(1)
         pos = jnp.asarray(
             rng.normal(size=(c, p, d)).astype(np.float32) + 1.0)
@@ -66,11 +72,15 @@ def run_one():
                 key, pos, posv, neg, negv, params)
             jax.device_get(m.alpha)
 
-        fit()  # load/upload
+        fit()  # throwaway: any residual load cost
         t0 = time.perf_counter()
         fit()
-        out[name] = round(time.perf_counter() - t0, 4)
-    print(json.dumps(out), flush=True)
+        print(json.dumps({
+            "solver_precision": setting, "head": name,
+            "warm_s": round(time.perf_counter() - t0, 4),
+            "setup_s": round(setup_s, 2),
+            "shape": [c, p, i, b, d],
+        }), flush=True)
 
 
 def main():

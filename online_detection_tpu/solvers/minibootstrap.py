@@ -248,7 +248,13 @@ def _train_one_class_unrolled(
 # static; sigma stays a Python float on the model so downstream Pallas
 # dispatch keeps it compile-time constant
 @functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=None)
 def _make_train_program(fit_fn, score_fn, init_fn, unrolled=False):
+    # cached like the sharded maker below: without this, every AOT-registry
+    # miss in _train_all_classes builds a FRESH jit wrapper, and each call
+    # then re-traces and re-loads the (~120 MB at flagship scale) executable
+    # onto the device — ~tens of seconds per call over a thin host link —
+    # instead of paying the upload once per process
     base = _train_one_class_unrolled if unrolled else _train_one_class
     fn = functools.partial(
         base, fit_fn=fit_fn, score_fn=score_fn, init_fn=init_fn
