@@ -172,7 +172,8 @@ def _bench_jpeg_harvest(jax, jnp, deadline, state, jt, jca, params, anchors,
         print("# bench: jpeg stage skipped (native IO unavailable)",
               file=sys.stderr)
         return
-    if _remaining(deadline) < 75:
+    if _remaining(deadline) < 75 + float(
+            os.environ.get("ODTPU_BENCH_SOLVER_RESERVE", "150")):
         print("# bench: jpeg stage skipped (deadline)", file=sys.stderr)
         return
 
@@ -371,21 +372,51 @@ def run_stages():
     # compile load would otherwise interleave with these 50 reps (a run with
     # warm threads live read the mmv at 546 ms = 150 GFLOP/s on a chip that
     # does it in 1.3 ms — 99.8% contention artifact).
+    from online_detection_tpu.ops.gaussian_mmv import (
+        gaussian_kernel,
+        kernel_precision_name,
+    )
+
     x_mmv = dev_normal(101, (20000, 2048))
     c_mmv = dev_normal(102, (1000, 2048))
     a_mmv = dev_normal(103, (1000,))
-    jax.device_get(mmv(x_mmv, c_mmv, a_mmv, 15.0))  # compile + warm
-    reps = 50  # amortize the tunnel round-trip out of the per-call number
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        out = mmv(x_mmv, c_mmv, a_mmv, 15.0)
-    jax.device_get(out)
-    warm_s = (time.perf_counter() - t0) / reps
     flops = 2.0 * 20000 * 1000 * 2048
+    reps = 50  # amortize the tunnel round-trip out of the per-call number
+
+    def time_mmv(fn):
+        jax.device_get(fn())  # compile + warm
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        jax.device_get(out)
+        return (time.perf_counter() - t0) / reps
+
+    # precision provenance (round-4 verdict, weak #3): the record names the
+    # RESOLVED apply-role mode it measured, so the cross-round series
+    # separates policy changes (r03 single-pass default 1.83 ms -> r04 HIGH
+    # bf16x3 2.57 ms, the deliberate quality fix) from code regressions
+    warm_s = time_mmv(lambda: mmv(x_mmv, c_mmv, a_mmv, 15.0))
     emit("gaussian_mmv_20k_x_1000_d2048", warm_s * 1e3, "ms",
-         vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1), reps=reps)
-    x_mmv = c_mmv = a_mmv = out = None
+         vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1), reps=reps,
+         precision=kernel_precision_name("apply"), warm=True)
+
+    # policy comparator: the same product at the single-bf16-pass DEFAULT
+    # (the pre-round-4 numerics) — the delta between these two lines IS the
+    # measured cost of the quality fix on this op
+    @jax.jit
+    def _mmv_singlepass(x, c, v):
+        k = gaussian_kernel(x, c, 15.0, precision=jax.lax.Precision.DEFAULT)
+        return jnp.matmul(k, v, precision=jax.lax.Precision.DEFAULT)
+
+    sp_s = time_mmv(lambda: _mmv_singlepass(x_mmv, c_mmv, a_mmv))
+    emit("gaussian_mmv_20k_x_1000_d2048_singlepass", sp_s * 1e3, "ms",
+         vs_baseline=None, gflops=round(flops / sp_s / 1e9, 1), reps=reps,
+         precision="default", warm=True,
+         note="policy comparator: pre-round-4 single-bf16-pass numerics "
+              "(corrupts near-center kernel values; kept only to price the "
+              "HIGH default above)")
+    x_mmv = c_mmv = a_mmv = None
 
     # ---- background warm-up of every solver executable ------------------
     # Overlaps the throughput stages below, whose numbers are taken as
@@ -408,8 +439,14 @@ def run_stages():
             warm_threads.append(t)
 
     # ---- stage 2: harvest + inference throughput (the serving path) -----
+    # solver_reserve: wall-clock held back for the five solver stages (the
+    # reference's per-stage timing contract, OnlineRegionClassifier.py:
+    # 144-154 / train_region_refiner.py:86-95) — BENCH_r04 lost all five to
+    # the throughput stages' deadline creep, so they are now the protected
+    # tail of this child
+    solver_reserve = float(os.environ.get("ODTPU_BENCH_SOLVER_RESERVE", "150"))
     bsz, hh, ww, gt_cap = 8, 608, 800, 8
-    if _remaining(deadline) <= 120:
+    if _remaining(deadline) <= solver_reserve + 90:
         print(f"# bench: skipping throughput stages "
               f"(deadline, {_remaining(deadline):.0f}s left)", file=sys.stderr)
     else:
@@ -597,7 +634,7 @@ def run_stages():
             # batch-1 serving latency: the reference's own operating point
             # (TEST.IMS_PER_BATCH: 1 in every experiment config) — the
             # number a latency-sensitive deployment compares first.
-            if _remaining(deadline) > 120:
+            if _remaining(deadline) > solver_reserve + 60:
                 try:
                     ips1 = run_inference_batch(1)
                     emit("inference_latency_600px_b1", 1e3 / ips1, "ms",
@@ -609,7 +646,7 @@ def run_stages():
 
             # batch-knee sweep: where does the imgs/s curve flatten?
             for b_sweep in (16, 32):
-                if _remaining(deadline) < 120:
+                if _remaining(deadline) < solver_reserve + 60:
                     print(f"# bench: skipping batch-{b_sweep} sweep (deadline)",
                           file=sys.stderr)
                     break
@@ -635,13 +672,16 @@ def run_stages():
         print(f"# bench: {still} warm threads still loading", file=sys.stderr)
 
     # ---- stage 3: grouped RLS refiners (device Cholesky solve) ----
+    solver_prec = kernel_precision_name("solver")
     if _remaining(deadline) > 30:
         compile_s, warm_s = timed(rls_det_thunk)
-        emit("rls_fit_detector_21x1000", warm_s, "s", setup_s=round(compile_s, 2))
+        emit("rls_fit_detector_21x1000", warm_s, "s",
+             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
         stage_times["rls_fit_detector_21x1000"] = warm_s
     if _remaining(deadline) > 25:
         compile_s, warm_s = timed(rls_rpn_thunk)
-        emit("rls_fit_rpn_15x1000", warm_s, "s", setup_s=round(compile_s, 2))
+        emit("rls_fit_rpn_15x1000", warm_s, "s",
+             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
         stage_times["rls_fit_rpn_15x1000"] = warm_s
 
     # ---- stages 4-6: per-head FALKON minibootstrap (production program) --
@@ -671,7 +711,8 @@ def run_stages():
             continue
         thunk = head_thunk(seed, dims, params)
         compile_s, warm_s = timed(thunk)
-        emit(name, warm_s, "s", setup_s=round(compile_s, 2))
+        emit(name, warm_s, "s", setup_s=round(compile_s, 2),
+             precision=solver_prec, warm=True)
         stage_times[name] = warm_s
         measured_heads.append((name, seed, dims, params))
         del thunk  # frees this head's pools before the next stage
@@ -705,7 +746,8 @@ def run_stages():
             solver_dt = time.perf_counter() - t0
             emit("online_modules_training_time_flagship_scale", solver_dt,
                  "s", vs_baseline=BASELINE_SECONDS / solver_dt,
-                 complete=True, baseline_note=BASELINE_NOTE)
+                 complete=True, precision=solver_prec, warm=True,
+                 baseline_note=BASELINE_NOTE)
             del head_thunks
         except Exception as e:
             print(f"# bench: end-to-end solver sweep failed ({e!r}); "
@@ -718,7 +760,8 @@ def run_stages():
              vs_baseline=(BASELINE_SECONDS / solver_dt) if complete else None,
              estimated_from_stages=sorted(
                  k for k in solver_keys if k in stage_times),
-             complete=complete, baseline_note=BASELINE_NOTE)
+             complete=complete, precision=solver_prec, warm=True,
+             baseline_note=BASELINE_NOTE)
     elif solver_dt is None:
         raise SystemExit("bench: no solver stage completed before deadline")
     # headline B (the composed extraction+training wall-clock) runs in a
@@ -744,11 +787,14 @@ def run_composed_main():
     )
     if composed is None:
         raise SystemExit("bench: composed run skipped on deadline")
+    from online_detection_tpu.ops.gaussian_mmv import kernel_precision_name
+
     dt, n_imgs, extract_dt, train_dt = composed
     emit("total_online_training_flagship", dt, "s",
          vs_baseline=BASELINE_SECONDS / dt,
          n_images=n_imgs, extraction_s=round(extract_dt, 3),
          training_s=round(train_dt, 3), complete=True,
+         precision=kernel_precision_name("solver"), warm=True,
          measured="end_to_end", baseline_note=BASELINE_NOTE +
          f"; includes CNN extraction of {n_imgs} imgs (reference's "
          "per-image loop alone needs ~300s for these at 5 imgs/s); on "
@@ -826,11 +872,15 @@ def run_smoke_quality():
         "--config_file_feature_extraction", feat_path,
         "--config_file_online_rpn_detection_segmentation", online_path,
     ])
+    from online_detection_tpu.ops.gaussian_mmv import kernel_precision_name
+
     emit("smoke_map_tpu", float(results["det_map_0.5"]), "mAP@0.5",
          segm_map=round(float(results["segm_map_0.5"]), 4),
          cpu_reference_det=0.886, cpu_reference_segm=0.886,
          wall_s=round(time.perf_counter() - t0, 1),
          backend=jax.default_backend(),
+         precision={"solver": kernel_precision_name("solver"),
+                    "apply": kernel_precision_name("apply")},
          note="flagship smoke CLI (4 train / 3 test synthetic images, "
               "random-init trunk) on the default TPU numerics; CPU runs "
               "the identical experiment at 0.886/0.886")
@@ -844,26 +894,37 @@ def main():
     ``total_online_training_flagship`` line (measured end-to-end from the
     composed child, or an estimate labeled ``complete: false``)."""
     deadline = _deadline()
-    # the composed child's fresh-process warm-up re-uploads the trunk/
-    # accumulate/solver executables through the persistent cache — the
-    # dominant cost on the tunnel — so it runs first with a generous slice,
-    # leaving the rest of the budget to the stages + smoke children (both of
-    # which self-truncate); a floor is still held back so a pathological
-    # composed warm-up cannot eat the whole budget
+    # Budget split (round-5 redesign after BENCH_r04 landed the headline but
+    # starved both other children: the composed slice was computed as
+    # max(composed_budget, remaining-420) which consumes essentially the
+    # whole budget — round-4 advisor finding — so the stages child measured
+    # only the mmv and the smoke child was SIGKILLed). Every child now has a
+    # HARD slice carved from the absolute deadline up front:
+    #   composed: min(COMPOSED_BUDGET, remaining - stages_floor - smoke_res)
+    #   stages:   everything up to (deadline - smoke_reserve)
+    #   smoke:    the reserved tail, protected the same way composed is
+    # Reserves scale down proportionally for small total budgets.
+    scale = min(1.0, _remaining(deadline) / 900.0)
     composed_budget = float(
-        os.environ.get("ODTPU_BENCH_COMPOSED_BUDGET", "480"))
+        os.environ.get("ODTPU_BENCH_COMPOSED_BUDGET", "420")) * scale
+    smoke_reserve = float(
+        os.environ.get("ODTPU_BENCH_SMOKE_RESERVE", "300")) * scale
+    stages_floor = float(
+        os.environ.get("ODTPU_BENCH_STAGES_FLOOR", "120")) * scale
     composed_recs = {}
     if _remaining(deadline) > 120:
-        composed_deadline = min(
-            deadline, time.time() + max(
-                composed_budget, _remaining(deadline) - 420))
+        composed_slice = min(
+            composed_budget,
+            max(120.0, _remaining(deadline) - stages_floor - smoke_reserve),
+        )
+        composed_deadline = min(deadline, time.time() + composed_slice)
         env2 = dict(os.environ, ODTPU_BENCH_DEADLINE=str(composed_deadline))
         # hard-kill past the slice + grace: a cold-cache warm-up can sit in
         # a single compile/upload call far past any in-process deadline
         # check, and overrunning here would eat the stages/smoke budget
         composed_recs, rc2 = _stream_child(
             [sys.executable, os.path.abspath(__file__), "--composed"], env2,
-            timeout_s=(composed_deadline - time.time()) + 60.0,
+            timeout_s=(composed_deadline - time.time()) + 45.0,
         )
         if rc2 != 0:
             print(f"# bench: composed child exited rc={rc2}", file=sys.stderr)
@@ -875,13 +936,13 @@ def main():
     # keeps its reserve (the stages child emits cheapest-first and truncates
     # cleanly); when the headline is MISSING the estimate fallback needs the
     # solver + harvest stages, so the sweep gets the full remaining budget
-    smoke_reserve = float(os.environ.get("ODTPU_BENCH_SMOKE_RESERVE", "330"))
     stages_deadline = deadline
-    if headline is not None and _remaining(deadline) > smoke_reserve + 120:
+    if headline is not None and _remaining(deadline) > smoke_reserve + 90:
         stages_deadline = deadline - smoke_reserve
     env = dict(os.environ, ODTPU_BENCH_DEADLINE=str(stages_deadline))
     stage_recs, rc = _stream_child(
-        [sys.executable, os.path.abspath(__file__), "--stages"], env
+        [sys.executable, os.path.abspath(__file__), "--stages"], env,
+        timeout_s=(stages_deadline - time.time()) + 45.0,
     )
     if rc != 0:
         print(f"# bench: stages child exited rc={rc}", file=sys.stderr)
@@ -891,7 +952,7 @@ def main():
     # round). Runs AFTER the headline is secured and is hard-killed at the
     # deadline; the headline record is re-emitted afterwards so the LAST
     # line (the driver's parsed record) is always the flagship headline.
-    if headline is not None and _remaining(deadline) > 180:
+    if headline is not None and _remaining(deadline) > 90:
         env3 = dict(os.environ, ODTPU_BENCH_DEADLINE=str(deadline))
         _, rc3 = _stream_child(
             [sys.executable, os.path.abspath(__file__), "--smoke"], env3,

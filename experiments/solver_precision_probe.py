@@ -42,6 +42,7 @@ def run_one():
         train_classifiers_minibootstrap,
         warm_train_program,
     )
+    from online_detection_tpu.utils.stats import FeatureStats
 
     cfg = OnlineTrainConfig(
         shuffle_negatives=True, rpn_shuffle_negatives=True
@@ -66,12 +67,21 @@ def run_one():
         neg = jnp.asarray(
             rng.normal(size=(c, i, b, d)).astype(np.float32) - 1.0)
         negv = jnp.ones((c, i, b), bool)
+        # stats= matches warm_train_program's with_stats=True signature so
+        # the fit below executes the EXACT warmed AOT program (round-4
+        # advisor: a stats=None fit has a different pytree signature, misses
+        # the registry, and times a freshly traced no-stats program instead)
+        stats = FeatureStats(jnp.zeros((d,)), jnp.ones((d,)),
+                             jnp.asarray(20.0))
 
         def fit():
             m = train_classifiers_minibootstrap(
-                key, pos, posv, neg, negv, params)
+                key, pos, posv, neg, negv, params, stats=stats)
             jax.device_get(m.alpha)
 
+        from online_detection_tpu.solvers import minibootstrap as MB
+
+        hits0 = MB.AOT_HITS
         fit()  # throwaway: any residual load cost
         t0 = time.perf_counter()
         fit()
@@ -79,6 +89,7 @@ def run_one():
             "solver_precision": setting, "head": name,
             "warm_s": round(time.perf_counter() - t0, 4),
             "setup_s": round(setup_s, 2),
+            "aot_hit": MB.AOT_HITS > hits0,
             "shape": [c, p, i, b, d],
         }), flush=True)
 

@@ -187,6 +187,140 @@ def params_from_torch_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return params
 
 
+def export_caffe2_blobs(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_caffe2`: our parameter tree -> Detectron
+    blob names/layouts. Exists for the converter SELFTEST
+    (``experiments/weights_smoke.py --selftest``): export random-init params
+    to both checkpoint formats, reload through both converters, and assert
+    identical activation checksums — the whole layout/folding procedure is
+    exercised with no real checkpoint in the sandbox (docs/REAL_ASSETS.md)."""
+
+    def inv_conv(w):  # HWIO -> [O,I,kh,kw]
+        return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+    def put_conv_bn(blobs, prefix_w, prefix_bn, p):
+        blobs[prefix_w + "_w"] = inv_conv(p["w"])
+        blobs[prefix_bn + "_s"] = np.asarray(p["scale"])
+        blobs[prefix_bn + "_b"] = np.asarray(p["bias"])
+
+    blobs: Dict[str, np.ndarray] = {}
+    bb = params["backbone"]
+    put_conv_bn(blobs, "conv1", "res_conv1_bn", bb["stem"])
+    for stage, n_blocks in R50_STAGE_BLOCKS.items():
+        sid = stage[3]
+        for b in range(n_blocks):
+            blk = bb[stage][b]
+            for br in ("branch2a", "branch2b", "branch2c"):
+                base = f"res{sid}_{b}_{br}"
+                put_conv_bn(blobs, base, base + "_bn", blk[br])
+            if "branch1" in blk:
+                b1 = f"res{sid}_{b}_branch1"
+                put_conv_bn(blobs, b1, b1 + "_bn", blk["branch1"])
+
+    rpn = params["rpn"]
+    blobs["conv_rpn_w"] = inv_conv(rpn["conv_w"])
+    blobs["conv_rpn_b"] = np.asarray(rpn["conv_b"])
+    # our 1x1 heads are [I, A]; Caffe2 stores [A, I, 1, 1]
+    blobs["rpn_cls_logits_w"] = np.asarray(rpn["cls_w"]).T[:, :, None, None]
+    blobs["rpn_cls_logits_b"] = np.asarray(rpn["cls_b"])
+    blobs["rpn_bbox_pred_w"] = np.asarray(rpn["bbox_w"]).T[:, :, None, None]
+    blobs["rpn_bbox_pred_b"] = np.asarray(rpn["bbox_b"])
+
+    if params.get("mask_head"):
+        mh = params["mask_head"]
+        # ours [kh, kw, I, O]; Caffe2 deconv blob [I, O, kh, kw]
+        blobs["conv5_mask_w"] = np.transpose(np.asarray(mh["w"]), (2, 3, 0, 1))
+        blobs["conv5_mask_b"] = np.asarray(mh["b"])
+        blobs["mask_fcn_logits_w"] = (
+            np.asarray(mh["logits_w"]).T[:, :, None, None]
+        )
+        blobs["mask_fcn_logits_b"] = np.asarray(mh["logits_b"])
+
+    if params.get("box_predictor"):
+        bp = params["box_predictor"]
+        blobs["cls_score_w"] = np.asarray(bp["cls_w"]).T
+        blobs["cls_score_b"] = np.asarray(bp["cls_b"])
+        blobs["bbox_pred_w"] = np.asarray(bp["bbox_w"]).T
+        blobs["bbox_pred_b"] = np.asarray(bp["bbox_b"])
+    return blobs
+
+
+def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`params_from_torch_state_dict` (selftest companion of
+    :func:`export_caffe2_blobs`). FrozenBatchNorm folding is not uniquely
+    invertible; the export picks running_mean=0 / running_var=1 so the
+    converter's fold reproduces scale/bias exactly."""
+
+    def inv_conv(w):  # HWIO -> [O,I,kh,kw]
+        return np.transpose(np.asarray(w), (3, 2, 0, 1))
+
+    def put_conv_bn(sd, conv_key, bn_key, p):
+        sd[conv_key + ".weight"] = inv_conv(p["w"])
+        n = np.asarray(p["scale"]).shape[0]
+        sd[bn_key + ".weight"] = np.asarray(p["scale"])
+        sd[bn_key + ".bias"] = np.asarray(p["bias"])
+        sd[bn_key + ".running_mean"] = np.zeros((n,), np.float32)
+        sd[bn_key + ".running_var"] = np.ones((n,), np.float32)
+
+    sd: Dict[str, np.ndarray] = {}
+    bb = params["backbone"]
+    put_conv_bn(sd, "backbone.body.stem.conv1", "backbone.body.stem.bn1",
+                bb["stem"])
+    stage_prefix = {
+        "res2": "backbone.body.layer1",
+        "res3": "backbone.body.layer2",
+        "res4": "backbone.body.layer3",
+        "res5": "roi_heads.box.feature_extractor.head.layer4",
+    }
+    for stage, n_blocks in R50_STAGE_BLOCKS.items():
+        pre = stage_prefix[stage]
+        for i in range(n_blocks):
+            blk = bb[stage][i]
+            put_conv_bn(sd, f"{pre}.{i}.conv1", f"{pre}.{i}.bn1", blk["branch2a"])
+            put_conv_bn(sd, f"{pre}.{i}.conv2", f"{pre}.{i}.bn2", blk["branch2b"])
+            put_conv_bn(sd, f"{pre}.{i}.conv3", f"{pre}.{i}.bn3", blk["branch2c"])
+            if "branch1" in blk:
+                put_conv_bn(sd, f"{pre}.{i}.downsample.0",
+                            f"{pre}.{i}.downsample.1", blk["branch1"])
+
+    rpn = params["rpn"]
+    sd["rpn.head.conv.weight"] = inv_conv(rpn["conv_w"])
+    sd["rpn.head.conv.bias"] = np.asarray(rpn["conv_b"])
+    sd["rpn.head.cls_logits.weight"] = (
+        np.asarray(rpn["cls_w"]).T[:, :, None, None]
+    )
+    sd["rpn.head.cls_logits.bias"] = np.asarray(rpn["cls_b"])
+    sd["rpn.head.bbox_pred.weight"] = (
+        np.asarray(rpn["bbox_w"]).T[:, :, None, None]
+    )
+    sd["rpn.head.bbox_pred.bias"] = np.asarray(rpn["bbox_b"])
+
+    if params.get("mask_head"):
+        mh = params["mask_head"]
+        sd["roi_heads.mask.predictor.conv5_mask.weight"] = (
+            np.transpose(np.asarray(mh["w"]), (2, 3, 0, 1))
+        )
+        sd["roi_heads.mask.predictor.conv5_mask.bias"] = np.asarray(mh["b"])
+        sd["roi_heads.mask.predictor.mask_fcn_logits.weight"] = (
+            np.asarray(mh["logits_w"]).T[:, :, None, None]
+        )
+        sd["roi_heads.mask.predictor.mask_fcn_logits.bias"] = (
+            np.asarray(mh["logits_b"])
+        )
+
+    if params.get("box_predictor"):
+        bp = params["box_predictor"]
+        sd["roi_heads.box.predictor.cls_score.weight"] = (
+            np.asarray(bp["cls_w"]).T
+        )
+        sd["roi_heads.box.predictor.cls_score.bias"] = np.asarray(bp["cls_b"])
+        sd["roi_heads.box.predictor.bbox_pred.weight"] = (
+            np.asarray(bp["bbox_w"]).T
+        )
+        sd["roi_heads.box.predictor.bbox_pred.bias"] = np.asarray(bp["bbox_b"])
+    return sd
+
+
 def activation_checksums(params: Dict[str, Any], seed: int = 0,
                          hw=(128, 160)) -> Dict[str, Dict[str, float]]:
     """Per-stage activation statistics on a fixed synthetic image — the

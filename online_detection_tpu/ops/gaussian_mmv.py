@@ -74,13 +74,30 @@ def _sq_norms(x: jax.Array) -> jax.Array:
 _ROLE_DEFAULTS = {"apply": "high", "solver": "high"}
 
 
+def kernel_precision_name(role: str = "apply") -> str:
+    """The RESOLVED precision-mode name (``default|high|highest``) for a
+    role, after env overrides — single source of truth shared with
+    :func:`kernel_precision`. Benchmarks stamp this into every metric record
+    so cross-round series distinguish policy changes from code regressions
+    (round-4 verdict: the mmv series silently conflated the two)."""
+    import os
+
+    return os.environ.get(
+        "ODTPU_KERNEL_PRECISION",
+        os.environ.get(
+            f"ODTPU_{role.upper()}_PRECISION", _ROLE_DEFAULTS[role]
+        ),
+    ).lower()
+
+
 def kernel_precision(role: str = "apply"):
     """Matmul precision for the ONLINE-MODEL math: Gaussian-kernel cross
     terms and the RLS/head applies, by role (see ``_ROLE_DEFAULTS``).
 
     Resolution order: ``ODTPU_KERNEL_PRECISION`` (global override, all
     roles) > ``ODTPU_SOLVER_PRECISION`` / ``ODTPU_APPLY_PRECISION`` (per
-    role) > the role default. Values: ``default|high|highest``.
+    role) > the role default. Values: ``default|high|highest``
+    (name resolution shared with :func:`kernel_precision_name`).
 
     Why this exists (round-4 root cause of the TPU-vs-CPU quality gap): on
     TPU, XLA runs f32 matmuls as a SINGLE bf16 pass by default. The Gaussian
@@ -100,19 +117,11 @@ def kernel_precision(role: str = "apply"):
     (``mrcnn_modified/config/defaults.py:466``). The conv trunk keeps the
     platform default — conv quality is insensitive and that is where the
     FLOPs are."""
-    import os
-
-    env = os.environ.get(
-        "ODTPU_KERNEL_PRECISION",
-        os.environ.get(
-            f"ODTPU_{role.upper()}_PRECISION", _ROLE_DEFAULTS[role]
-        ),
-    ).lower()
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
         "highest": jax.lax.Precision.HIGHEST,
-    }[env]
+    }[kernel_precision_name(role)]
 
 
 def gaussian_kernel(

@@ -40,6 +40,7 @@ Feature z-scoring (``zScores``: (x - mean) * (20 / mean_norm),
 from __future__ import annotations
 
 import functools
+import os
 import threading
 from typing import NamedTuple, Optional
 
@@ -98,6 +99,18 @@ def _falkon_init_fn(p_cap, d, params):
         jnp.zeros((params.m,), jnp.float32),
         jnp.zeros((params.m, d), jnp.float32),
     )
+
+
+def _use_unrolled() -> bool:
+    """Production solver-program shape: the statically-unrolled prefix loop
+    (True, default) or the single ``lax.scan`` body (False,
+    ``ODTPU_SOLVER_UNROLL=0``). Same fixpoint — asserted by
+    ``tests/test_minibootstrap.py::test_unrolled_matches_scan`` — but the
+    unrolled program is ~15% faster warm on the TPU while the scan program
+    compiles ~an order of magnitude faster (one iteration body vs I distinct
+    prefix shapes). The CPU-mesh multichip dryrun and time-boxed CI set the
+    env: there the compile, not the warm run, is the wall-clock."""
+    return os.environ.get("ODTPU_SOLVER_UNROLL", "1") != "0"
 
 
 def _train_one_class(
@@ -248,13 +261,7 @@ def _train_one_class_unrolled(
 # static; sigma stays a Python float on the model so downstream Pallas
 # dispatch keeps it compile-time constant
 @functools.lru_cache(maxsize=None)
-@functools.lru_cache(maxsize=None)
 def _make_train_program(fit_fn, score_fn, init_fn, unrolled=False):
-    # cached like the sharded maker below: without this, every AOT-registry
-    # miss in _train_all_classes builds a FRESH jit wrapper, and each call
-    # then re-traces and re-loads the (~120 MB at flagship scale) executable
-    # onto the device — ~tens of seconds per call over a thin host link —
-    # instead of paying the upload once per process
     base = _train_one_class_unrolled if unrolled else _train_one_class
     fn = functools.partial(
         base, fit_fn=fit_fn, score_fn=score_fn, init_fn=init_fn
@@ -367,7 +374,8 @@ def warm_train_program(
     if sig in _AOT_PROGRAMS:
         return
     program = _make_train_program(
-        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn,
+        unrolled=_use_unrolled(),
     )
     compiled = program.lower(*args, params).compile()
     if run:
@@ -405,7 +413,8 @@ def _train_all_classes(keys, pos, pos_valid, neg, neg_valid, stats, params,
             (alpha, centers), exists, _ = compiled(*args)
             return centers, alpha, exists
         program = _make_train_program(
-            _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
+            _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn,
+            unrolled=_use_unrolled(),
         )
     else:
         # args may arrive committed to another sharding (e.g. replicated
@@ -419,7 +428,9 @@ def _train_all_classes(keys, pos, pos_valid, neg, neg_valid, stats, params,
         args = tuple(
             jax.device_put(a, cls) for a in args[:5]
         ) + (jax.device_put(args[5], repl) if args[5] is not None else None,)
-        program = _make_train_program_sharded(mesh, axis_name, unrolled=True)
+        program = _make_train_program_sharded(
+            mesh, axis_name, unrolled=_use_unrolled()
+        )
     (alpha, centers), exists, _ = program(*args, params)
     return centers, alpha, exists
 

@@ -14,7 +14,8 @@ that is not dependable, this runner executes
 as two child processes — bounding per-process state exactly like the
 driver/CI invocations do — and exits nonzero if either tier fails.
 Extra arguments are forwarded to both pytest invocations
-(e.g. ``python -m tests.run_suite -x``).
+(e.g. ``python -m tests.run_suite -x``); a user ``-m EXPR`` is AND-combined
+with each tier marker (``(fast) and (EXPR)``), never substituted for it.
 """
 
 import subprocess
@@ -22,13 +23,26 @@ import sys
 
 
 def main() -> int:
+    # AND a user-supplied -m expression into the tier marker instead of
+    # letting pytest's last-wins -m silently override it (which would make
+    # both child processes run the same selection, defeating the split)
+    args = list(sys.argv[1:])
+    user_m = None
+    for flag in ("-m", "--markers-expr"):
+        while flag in args:
+            i = args.index(flag)
+            user_m = args[i + 1]
+            del args[i : i + 2]
     repo_rc = 0
     for tier in ("fast", "slow"):
-        print(f"=== tier: {tier} ===", flush=True)
+        expr = f"({tier}) and ({user_m})" if user_m else tier
+        print(f"=== tier: {tier} (-m {expr!r}) ===", flush=True)
         rc = subprocess.call(
-            [sys.executable, "-m", "pytest", "tests/", "-q", "-m", tier]
-            + sys.argv[1:]
+            [sys.executable, "-m", "pytest", "tests/", "-q", "-m", expr]
+            + args
         )
+        if rc == 5 and user_m:
+            continue  # no tests in this tier match the user's expression
         if rc != 0:
             print(f"=== tier {tier} FAILED (rc={rc}) ===", flush=True)
             repo_rc = rc

@@ -185,3 +185,35 @@ def test_warm_train_program_registry(rng):
     np.testing.assert_array_equal(
         np.asarray(got.centers), np.asarray(ref.centers)
     )
+
+
+def test_make_train_program_one_wrapper_per_signature():
+    """Regression (round-4 advisor, medium): exactly ONE jit wrapper per
+    (fit, score, init, unrolled) signature. A fresh wrapper per call would
+    re-trace and re-upload the ~120 MB unrolled executable on every
+    AOT-registry miss; the lru_cache must make repeated calls identical."""
+    from online_detection_tpu.solvers.minibootstrap import (
+        _falkon_fit_fn,
+        _falkon_init_fn,
+        _falkon_score_fn,
+        _make_train_program,
+    )
+
+    before = _make_train_program.cache_info()
+    a1 = _make_train_program(
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=False
+    )
+    a2 = _make_train_program(
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=False
+    )
+    b1 = _make_train_program(
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
+    )
+    b2 = _make_train_program(
+        _falkon_fit_fn, _falkon_score_fn, _falkon_init_fn, unrolled=True
+    )
+    assert a1 is a2 and b1 is b2 and a1 is not b1
+    after = _make_train_program.cache_info()
+    # at most two NEW cache entries (scan + unrolled); repeats are hits
+    assert after.currsize - before.currsize <= 2
+    assert after.hits >= before.hits + 2
