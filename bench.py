@@ -874,16 +874,30 @@ def run_smoke_quality():
     ])
     from online_detection_tpu.ops.gaussian_mmv import kernel_precision_name
 
-    emit("smoke_map_tpu", float(results["det_map_0.5"]), "mAP@0.5",
+    det = float(results["det_map_0.5"])
+    # the HARDWARE quality gate (round-4 verdict item 5): at the shipped
+    # precision defaults this smoke measures ~0.92 det mAP on TPU; the
+    # pre-round-4 single-pass numerics measure 0.50. Gate at 0.8 so a
+    # precision/numerics regression turns this child's exit code red while
+    # the metric still lands (demonstrable: ODTPU_KERNEL_PRECISION=default
+    # makes this fail). Threshold env-tunable for deliberate ablations.
+    gate = float(os.environ.get("ODTPU_SMOKE_GATE", "0.8"))
+    emit("smoke_map_tpu", det, "mAP@0.5",
          segm_map=round(float(results["segm_map_0.5"]), 4),
          cpu_reference_det=0.886, cpu_reference_segm=0.886,
          wall_s=round(time.perf_counter() - t0, 1),
          backend=jax.default_backend(),
          precision={"solver": kernel_precision_name("solver"),
                     "apply": kernel_precision_name("apply")},
+         quality_gate=("pass" if det >= gate else "FAIL"),
+         gate_threshold=gate,
          note="flagship smoke CLI (4 train / 3 test synthetic images, "
               "random-init trunk) on the default TPU numerics; CPU runs "
               "the identical experiment at 0.886/0.886")
+    if det < gate:
+        raise SystemExit(
+            f"bench: smoke quality gate FAILED: det mAP {det:.3f} < {gate}"
+        )
 
 
 def main():

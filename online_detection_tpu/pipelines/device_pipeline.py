@@ -583,6 +583,7 @@ def train_online_modules_device(
             a_cls,
             cfg.rpn_reg_lam,
             device_solve=True,
+            mesh=mesh, axis_name=axis_name,
         )
         _write_result(
             output_dir,
@@ -645,6 +646,7 @@ def train_online_modules_device(
     det_rls = rls_fit_grouped(
         reg_x, coxy_y, coxy_c, coxy_valid.astype(jnp.float32),
         cfg.num_classes, cfg.det_reg_lam, device_solve=True,
+        mesh=mesh, axis_name=axis_name,
     )
     _write_result(
         output_dir,

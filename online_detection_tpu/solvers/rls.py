@@ -155,6 +155,33 @@ def _solve_from_stats(g, b, sum_y, yty, n, lam) -> RLSModel:
     )
 
 
+def _masked_class_moments(w_c, x, y):
+    """One class's ridge moments from the shared buffer: w_c [N] (onehot
+    validity weights), x [N, d], y [N, 4] -> (G [d+1,d+1], b [d+1,4], sum_y,
+    yty, n). Shared by the lax.map single-device pass and the class-sharded
+    vmap program."""
+    d = x.shape[1]
+    hp = jax.lax.Precision.HIGHEST  # see _gram_stats: bf16-pass Gram noise
+    xm = x * w_c[:, None]
+    ym = y * w_c[:, None]
+    g_xx = jnp.matmul(xm.T, x, preferred_element_type=jnp.float32,
+                      precision=hp)
+    sum_x = jnp.sum(xm, axis=0)
+    b_xy = jnp.matmul(xm.T, y, preferred_element_type=jnp.float32,
+                      precision=hp)
+    sum_y = jnp.sum(ym, axis=0)
+    yty = jnp.matmul(ym.T, y, preferred_element_type=jnp.float32,
+                     precision=hp)
+    n = jnp.sum(w_c)
+    g = jnp.zeros((d + 1, d + 1), jnp.float32)
+    g = g.at[:d, :d].set(g_xx)
+    g = g.at[:d, d].set(sum_x)
+    g = g.at[d, :d].set(sum_x)
+    g = g.at[d, d].set(n)
+    b = jnp.concatenate([b_xy, sum_y[None, :]], axis=0)  # [d+1, 4]
+    return g, b, sum_y, yty, n
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes",))
 def _gram_stats_grouped(x: jax.Array, y: jax.Array, cls1: jax.Array, w: jax.Array,
                         num_classes: int):
@@ -171,31 +198,36 @@ def _gram_stats_grouped(x: jax.Array, y: jax.Array, cls1: jax.Array, w: jax.Arra
     blow-up."""
     onehot = jax.nn.one_hot(cls1.astype(jnp.int32) - 1, num_classes, dtype=jnp.float32)
     wc = onehot * w[:, None]  # [N, C]
-    d = x.shape[1]
+    return jax.lax.map(lambda w_c: _masked_class_moments(w_c, x, y), wc.T)
 
-    hp = jax.lax.Precision.HIGHEST  # see _gram_stats: bf16-pass Gram noise
 
-    def per_class(w_c):  # [N] -> this class's moments
-        xm = x * w_c[:, None]
-        ym = y * w_c[:, None]
-        g_xx = jnp.matmul(xm.T, x, preferred_element_type=jnp.float32,
-                          precision=hp)
-        sum_x = jnp.sum(xm, axis=0)
-        b_xy = jnp.matmul(xm.T, y, preferred_element_type=jnp.float32,
-                          precision=hp)
-        sum_y = jnp.sum(ym, axis=0)
-        yty = jnp.matmul(ym.T, y, preferred_element_type=jnp.float32,
-                         precision=hp)
-        n = jnp.sum(w_c)
-        g = jnp.zeros((d + 1, d + 1), jnp.float32)
-        g = g.at[:d, :d].set(g_xx)
-        g = g.at[:d, d].set(sum_x)
-        g = g.at[d, :d].set(sum_x)
-        g = g.at[d, d].set(n)
-        b = jnp.concatenate([b_xy, sum_y[None, :]], axis=0)  # [d+1, 4]
-        return g, b, sum_y, yty, n
+@functools.lru_cache(maxsize=None)
+def _make_grouped_device_program_sharded(mesh, axis_name: str):
+    """Class-sharded grouped RLS: the per-class Gram moments AND the
+    whitening/Cholesky solve run with the class axis sharded over a 1-D
+    mesh — the same class-axis model parallelism as the sharded
+    minibootstrap (SURVEY.md §2.2), with zero collectives until the final
+    replicating gather of the KB-scale model. Replicated execution (the
+    pre-round-5 behavior when a mesh was live) made every device redo all C
+    classes' ``C*N*d^2`` Gram FLOPs; sharding makes multi-chip RLS C/n_dev
+    work per device instead of C-fold redundancy. The row buffer is
+    replicated (it is read by every class's mask)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
 
-    return jax.lax.map(per_class, wc.T)
+    cls_s = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def fn(wcT, x, y, lam):
+        # wcT: [Cp, N] class-sharded onehot*validity weights; vmap (NOT
+        # lax.map: a scan serializes and cannot shard its iteration axis)
+        stats = jax.vmap(lambda w_c: _masked_class_moments(w_c, x, y))(wcT)
+        return _device_solve_from_stats(*stats, lam)
+
+    return jax.jit(
+        fn,
+        in_shardings=(cls_s, repl, repl, repl),
+        out_shardings=repl,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("num_classes",))
@@ -241,6 +273,8 @@ def rls_fit_grouped(
     num_classes: int,
     lam: float,
     device_solve: bool = False,
+    mesh=None,
+    axis_name: str = "mb",
 ) -> RLSModel:
     """Fit all refiners from a shared COXY buffer (device grouping).
 
@@ -254,7 +288,38 @@ def rls_fit_grouped(
     FLOPs); when one class hogs the buffer the blocks stop paying and it
     falls back to the masked pass. The per-class moments are identical
     either way (row permutation only).
+
+    ``mesh`` (device_solve only): 1-D mesh — Grams + solves run CLASS-
+    SHARDED (each device its slice, model replicated at the end), like the
+    sharded minibootstrap. Identical moments to the unsharded masked pass.
     """
+    if mesh is not None and device_solve:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        cp = -(-num_classes // n_dev) * n_dev
+        onehot = jax.nn.one_hot(
+            cls1.astype(jnp.int32) - 1, cp, dtype=jnp.float32
+        )
+        wc_t = (onehot * w[:, None]).T  # [Cp, N]; padded classes all-zero
+        program = _make_grouped_device_program_sharded(mesh, axis_name)
+        repl = NamedSharding(mesh, P())
+        args = [
+            jax.device_put(wc_t, NamedSharding(mesh, P(axis_name))),
+            jax.device_put(x, repl),
+            jax.device_put(y, repl),
+            jax.device_put(jnp.asarray(lam, jnp.float32), repl),
+        ]
+        beta, t_dev, t_inv_dev, mu_dev, exists, mean_losses = program(*args)
+        return RLSModel(
+            beta=beta[:num_classes],
+            t_inv=t_inv_dev[:num_classes],
+            t=t_dev[:num_classes],
+            mu=mu_dev[:num_classes],
+            exists=exists[:num_classes],
+            mean_losses=mean_losses[:num_classes],
+        )
+
     if not device_solve:
         stats = jax.device_get(
             _gram_stats_grouped(x, y, cls1, w, num_classes)

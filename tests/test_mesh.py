@@ -316,3 +316,27 @@ RPN:
                 np.asarray(got_m.rls.beta), np.asarray(ref_m.rls.beta),
                 rtol=1e-3, atol=1e-3, err_msg=name,
             )
+
+
+def test_sharded_rls_matches_unsharded(rng):
+    """Class-sharded grouped RLS (mesh=) computes the same models as the
+    single-device device_solve path: identical per-class moments (masked
+    shared-buffer pass on both sides), class axis padded to the mesh."""
+    from online_detection_tpu.solvers.rls import rls_fit_grouped
+
+    n, d, c = 96, 16, 5  # pads to 8 on the mesh
+    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    cls1 = jnp.asarray(rng.integers(1, c + 1, n).astype(np.float32))
+    w = jnp.asarray((rng.uniform(size=n) > 0.2).astype(np.float32))
+    ref = rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True)
+    got = rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True,
+                          mesh=make_mesh(8))
+    assert got.beta.shape == ref.beta.shape == (c, d + 1, 4)
+    np.testing.assert_array_equal(np.asarray(got.exists), np.asarray(ref.exists))
+    np.testing.assert_allclose(np.asarray(got.mu), np.asarray(ref.mu),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.beta), np.asarray(ref.beta),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.t_inv), np.asarray(ref.t_inv),
+                               rtol=1e-4, atol=1e-4)
