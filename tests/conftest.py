@@ -34,7 +34,7 @@ import pytest  # noqa: E402
 # pipelines, mesh, trainers) is marked slow automatically. Full suite ~40 min
 # single-core (test_serial_cli alone is ~11 min: two full CNN passes).
 _FAST_MODULES = {
-    "test_anchors", "test_boxes", "test_compile_cache", "test_configs",
+    "test_anchors", "test_boxes", "test_coco_rle", "test_compile_cache", "test_configs",
     "test_data_eval", "test_falkon", "test_gaussian_mmv", "test_minibootstrap",
     "test_native_io", "test_nms", "test_reference_parity",
     "test_reference_parity_eval", "test_reference_parity_harvest",

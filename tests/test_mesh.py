@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.mesh
+
 from online_detection_tpu.parallel.mesh import (
     make_mesh,
     shard_batch,
