@@ -172,8 +172,7 @@ def _bench_jpeg_harvest(jax, jnp, deadline, state, jt, jca, params, anchors,
         print("# bench: jpeg stage skipped (native IO unavailable)",
               file=sys.stderr)
         return
-    if _remaining(deadline) < 75 + float(
-            os.environ.get("ODTPU_BENCH_SOLVER_RESERVE", "150")):
+    if _remaining(deadline) < 75:
         print("# bench: jpeg stage skipped (deadline)", file=sys.stderr)
         return
 
@@ -419,9 +418,12 @@ def run_stages():
     x_mmv = c_mmv = a_mmv = None
 
     # ---- background warm-up of every solver executable ------------------
-    # Overlaps the throughput stages below, whose numbers are taken as
-    # best-of-3 windows (robust to the throwaway-run blips; see their
-    # comment). The solver stages join these threads before timing.
+    # All five compile+upload threads start together (the tunnel link is the
+    # shared bottleneck; starting together keeps it saturated). Each solver
+    # stage below joins ONLY ITS OWN thread and emits the moment its
+    # executable is resident — round-5 reorder after BENCH_r04 lost all five
+    # solver stages to the old throughput-stages-first ordering.
+    warm_by_name = {}
     warm_threads = []
     if os.environ.get("ODTPU_BENCH_WARM", "1") != "0":
         for _name, _seed, (c, p, i, b, d), params in head_specs:
@@ -430,23 +432,131 @@ def run_stages():
                 args=(min(CK, c), p, i, b, d, params), daemon=True,
             )
             t.start()
+            warm_by_name[_name] = t
             warm_threads.append(t)
-        for thunk in (rls_det_thunk, rls_rpn_thunk):
+        for _name, thunk in (("rls_det", rls_det_thunk),
+                             ("rls_rpn", rls_rpn_thunk)):
             t = threading.Thread(
                 target=lambda f=thunk: jax.device_get(f()), daemon=True
             )
             t.start()
+            warm_by_name[_name] = t
             warm_threads.append(t)
 
-    # ---- stage 2: harvest + inference throughput (the serving path) -----
-    # solver_reserve: wall-clock held back for the five solver stages (the
-    # reference's per-stage timing contract, OnlineRegionClassifier.py:
-    # 144-154 / train_region_refiner.py:86-95) — BENCH_r04 lost all five to
-    # the throughput stages' deadline creep, so they are now the protected
-    # tail of this child
-    solver_reserve = float(os.environ.get("ODTPU_BENCH_SOLVER_RESERVE", "150"))
+    def join_warm(name):
+        t = warm_by_name.get(name)
+        if t is not None:
+            t.join(timeout=max(10.0, _remaining(deadline) - 45))
+            if t.is_alive():
+                print(f"# bench: warm thread {name} still loading",
+                      file=sys.stderr)
+
+    # ---- stage 3: grouped RLS refiners (device Cholesky solve) ----
+    solver_prec = kernel_precision_name("solver")
+    if _remaining(deadline) > 30:
+        join_warm("rls_det")
+        compile_s, warm_s = timed(rls_det_thunk)
+        emit("rls_fit_detector_21x1000", warm_s, "s",
+             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
+        stage_times["rls_fit_detector_21x1000"] = warm_s
+    if _remaining(deadline) > 25:
+        join_warm("rls_rpn")
+        compile_s, warm_s = timed(rls_rpn_thunk)
+        emit("rls_fit_rpn_15x1000", warm_s, "s",
+             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
+        stage_times["rls_fit_rpn_15x1000"] = warm_s
+
+    # ---- stages 4-6: per-head FALKON minibootstrap (production program) --
+    # pools are (re)generated on demand and FREED between stages: keeping
+    # all three heads' pools resident (~6 GB) starves later stages of HBM
+    def mk(seed, c, p, i, b, d):
+        pos = dev_normal(seed, (c, p, d), shift=0.5)
+        neg = dev_normal(seed + 1, (c, i, b, d), shift=-0.5)
+        return pos, jnp.ones((c, p), bool), neg, jnp.ones((c, i, b), bool)
+
+    def head_thunk(seed, dims, params):
+        data = mk(seed, *dims)
+        st = FeatureStats(jnp.zeros((dims[4],)), jnp.ones((dims[4],)),
+                          jnp.asarray(20.0))
+        # stats= + class_chunk=CK: the exact production configuration
+        # train_online_modules_device runs (z-scoring inside the program,
+        # CK-wide chunked executions of the same per-chunk executable the
+        # warm threads loaded)
+        return lambda: train_classifiers_minibootstrap(
+            jax.random.key(0), *data, params, stats=st, class_chunk=CK
+        ).alpha
+
+    measured_heads = []
+    for name, seed, dims, params in head_specs:
+        if _remaining(deadline) < 30:
+            print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
+            continue
+        join_warm(name)
+        thunk = head_thunk(seed, dims, params)
+        compile_s, warm_s = timed(thunk)
+        emit(name, warm_s, "s", setup_s=round(compile_s, 2),
+             precision=solver_prec, warm=True)
+        stage_times[name] = warm_s
+        measured_heads.append((name, seed, dims, params))
+        del thunk  # frees this head's pools before the next stage
+
+    # ---- headline A: the on-line-modules training step (solver half) ----
+    solver_keys = ["rls_fit_detector_21x1000", "rls_fit_rpn_15x1000",
+                   "minibootstrap_segm_21cls_m500",
+                   "minibootstrap_rpn_15anchors_m1000",
+                   "minibootstrap_detector_21cls_m1000"]
+    complete = all(k in stage_times for k in solver_keys)
+    solver_dt = None
+    if complete and _remaining(deadline) > 2.5 * sum(
+            stage_times[k] for k in solver_keys) + 10:
+        # everything is compiled + loaded — regenerate the pools (freed
+        # between stages) and run one timed end-to-end solver sweep
+        try:
+            head_thunks = [
+                head_thunk(seed, dims, params)
+                for _name, seed, dims, params in measured_heads
+            ]
+
+            def full_training_step():
+                outs = [t() for t in head_thunks]
+                outs.append(rls_det_thunk())
+                outs.append(rls_rpn_thunk())
+                jax.device_get(outs)  # force completion (see timed())
+
+            full_training_step()  # warm the regenerated buffers into place
+            t0 = time.perf_counter()
+            full_training_step()
+            solver_dt = time.perf_counter() - t0
+            emit("online_modules_training_time_flagship_scale", solver_dt,
+                 "s", vs_baseline=BASELINE_SECONDS / solver_dt,
+                 complete=True, precision=solver_prec, warm=True,
+                 baseline_note=BASELINE_NOTE)
+            del head_thunks
+        except Exception as e:
+            print(f"# bench: end-to-end solver sweep failed ({e!r}); "
+                  "falling back to stage sums", file=sys.stderr)
+    if solver_dt is None and any(k in stage_times for k in solver_keys):
+        solver_dt = sum(stage_times.get(k, 0.0) for k in solver_keys)
+        # vs_baseline only when ALL 5 stages landed: a partial sum is not
+        # the flagship step and a ratio against it would overstate
+        emit("online_modules_training_time_flagship_scale", solver_dt, "s",
+             vs_baseline=(BASELINE_SECONDS / solver_dt) if complete else None,
+             estimated_from_stages=sorted(
+                 k for k in solver_keys if k in stage_times),
+             complete=complete, precision=solver_prec, warm=True,
+             baseline_note=BASELINE_NOTE)
+    elif solver_dt is None:
+        raise SystemExit("bench: no solver stage completed before deadline")
+    # ---- throughput stages: harvest + inference (the serving path) ------
+    # Run AFTER the solver stages (round-5 reorder): BENCH_r04 lost all five
+    # solver stages (the reference's per-stage timing contract,
+    # OnlineRegionClassifier.py:144-154 / train_region_refiner.py:86-95) to
+    # the throughput stages' deadline creep. The solver metrics are this
+    # child's deliverable; the throughput stages are the sacrificial tail
+    # (their r03 driver records stand and they re-land whenever the budget
+    # allows).
     bsz, hh, ww, gt_cap = 8, 608, 800, 8
-    if _remaining(deadline) <= solver_reserve + 90:
+    if _remaining(deadline) <= 110:
         print(f"# bench: skipping throughput stages "
               f"(deadline, {_remaining(deadline):.0f}s left)", file=sys.stderr)
     else:
@@ -634,7 +744,7 @@ def run_stages():
             # batch-1 serving latency: the reference's own operating point
             # (TEST.IMS_PER_BATCH: 1 in every experiment config) — the
             # number a latency-sensitive deployment compares first.
-            if _remaining(deadline) > solver_reserve + 60:
+            if _remaining(deadline) > 90:
                 try:
                     ips1 = run_inference_batch(1)
                     emit("inference_latency_600px_b1", 1e3 / ips1, "ms",
@@ -646,7 +756,7 @@ def run_stages():
 
             # batch-knee sweep: where does the imgs/s curve flatten?
             for b_sweep in (16, 32):
-                if _remaining(deadline) < solver_reserve + 60:
+                if _remaining(deadline) < 90:
                     print(f"# bench: skipping batch-{b_sweep} sweep (deadline)",
                           file=sys.stderr)
                     break
@@ -664,106 +774,6 @@ def run_stages():
         except Exception as e:  # never let the throughput stage kill the bench
             print(f"# bench: harvest stage failed: {e!r}", file=sys.stderr)
 
-    # ---- join the warm threads (their uploads overlapped the stages above)
-    for t in warm_threads:
-        t.join(timeout=max(10.0, _remaining(deadline) - 90))
-    still = sum(t.is_alive() for t in warm_threads)
-    if still:
-        print(f"# bench: {still} warm threads still loading", file=sys.stderr)
-
-    # ---- stage 3: grouped RLS refiners (device Cholesky solve) ----
-    solver_prec = kernel_precision_name("solver")
-    if _remaining(deadline) > 30:
-        compile_s, warm_s = timed(rls_det_thunk)
-        emit("rls_fit_detector_21x1000", warm_s, "s",
-             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
-        stage_times["rls_fit_detector_21x1000"] = warm_s
-    if _remaining(deadline) > 25:
-        compile_s, warm_s = timed(rls_rpn_thunk)
-        emit("rls_fit_rpn_15x1000", warm_s, "s",
-             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
-        stage_times["rls_fit_rpn_15x1000"] = warm_s
-
-    # ---- stages 4-6: per-head FALKON minibootstrap (production program) --
-    # pools are (re)generated on demand and FREED between stages: keeping
-    # all three heads' pools resident (~6 GB) starves later stages of HBM
-    def mk(seed, c, p, i, b, d):
-        pos = dev_normal(seed, (c, p, d), shift=0.5)
-        neg = dev_normal(seed + 1, (c, i, b, d), shift=-0.5)
-        return pos, jnp.ones((c, p), bool), neg, jnp.ones((c, i, b), bool)
-
-    def head_thunk(seed, dims, params):
-        data = mk(seed, *dims)
-        st = FeatureStats(jnp.zeros((dims[4],)), jnp.ones((dims[4],)),
-                          jnp.asarray(20.0))
-        # stats= + class_chunk=CK: the exact production configuration
-        # train_online_modules_device runs (z-scoring inside the program,
-        # CK-wide chunked executions of the same per-chunk executable the
-        # warm threads loaded)
-        return lambda: train_classifiers_minibootstrap(
-            jax.random.key(0), *data, params, stats=st, class_chunk=CK
-        ).alpha
-
-    measured_heads = []
-    for name, seed, dims, params in head_specs:
-        if _remaining(deadline) < 30:
-            print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
-            continue
-        thunk = head_thunk(seed, dims, params)
-        compile_s, warm_s = timed(thunk)
-        emit(name, warm_s, "s", setup_s=round(compile_s, 2),
-             precision=solver_prec, warm=True)
-        stage_times[name] = warm_s
-        measured_heads.append((name, seed, dims, params))
-        del thunk  # frees this head's pools before the next stage
-
-    # ---- headline A: the on-line-modules training step (solver half) ----
-    solver_keys = ["rls_fit_detector_21x1000", "rls_fit_rpn_15x1000",
-                   "minibootstrap_segm_21cls_m500",
-                   "minibootstrap_rpn_15anchors_m1000",
-                   "minibootstrap_detector_21cls_m1000"]
-    complete = all(k in stage_times for k in solver_keys)
-    solver_dt = None
-    if complete and _remaining(deadline) > 2.5 * sum(
-            stage_times[k] for k in solver_keys) + 10:
-        # everything is compiled + loaded — regenerate the pools (freed
-        # between stages) and run one timed end-to-end solver sweep
-        try:
-            head_thunks = [
-                head_thunk(seed, dims, params)
-                for _name, seed, dims, params in measured_heads
-            ]
-
-            def full_training_step():
-                outs = [t() for t in head_thunks]
-                outs.append(rls_det_thunk())
-                outs.append(rls_rpn_thunk())
-                jax.device_get(outs)  # force completion (see timed())
-
-            full_training_step()  # warm the regenerated buffers into place
-            t0 = time.perf_counter()
-            full_training_step()
-            solver_dt = time.perf_counter() - t0
-            emit("online_modules_training_time_flagship_scale", solver_dt,
-                 "s", vs_baseline=BASELINE_SECONDS / solver_dt,
-                 complete=True, precision=solver_prec, warm=True,
-                 baseline_note=BASELINE_NOTE)
-            del head_thunks
-        except Exception as e:
-            print(f"# bench: end-to-end solver sweep failed ({e!r}); "
-                  "falling back to stage sums", file=sys.stderr)
-    if solver_dt is None and any(k in stage_times for k in solver_keys):
-        solver_dt = sum(stage_times.get(k, 0.0) for k in solver_keys)
-        # vs_baseline only when ALL 5 stages landed: a partial sum is not
-        # the flagship step and a ratio against it would overstate
-        emit("online_modules_training_time_flagship_scale", solver_dt, "s",
-             vs_baseline=(BASELINE_SECONDS / solver_dt) if complete else None,
-             estimated_from_stages=sorted(
-                 k for k in solver_keys if k in stage_times),
-             complete=complete, precision=solver_prec, warm=True,
-             baseline_note=BASELINE_NOTE)
-    elif solver_dt is None:
-        raise SystemExit("bench: no solver stage completed before deadline")
     # headline B (the composed extraction+training wall-clock) runs in a
     # FRESH child process — see main()'s orchestration and the module
     # docstring for why (round-3 FAILED_PRECONDITION executable-population

@@ -178,12 +178,21 @@ def test_sharded_solver_production_features(rng):
     np.testing.assert_array_equal(np.asarray(got.exists), np.asarray(ref.exists))
 
 
-def test_flagship_cli_n_devices_matches_single_device(tmp_path):
+def test_flagship_cli_n_devices_matches_single_device(tmp_path, monkeypatch):
     """The REAL flagship CLI with --n_devices 8 (class-sharded solvers +
     batch-sharded harvest/inference on the virtual CPU mesh) trains the same
-    models as the single-device device pipeline (VERDICT r2 next-item #2)."""
+    models as the single-device device pipeline (VERDICT r2 next-item #2).
+
+    Runs the scan-program solver on BOTH sides (ODTPU_SOLVER_UNROLL=0):
+    this test's claim is mesh==single-device model equality, which is
+    independent of the loop realization (scan==unroll is separately
+    asserted by test_minibootstrap.py::test_unrolled_matches_scan and was
+    re-verified on the real TPU in round 5); the unrolled programs' CPU
+    compiles alone cost ~2/3 of this test's former ~13-min wall."""
     import os
     import sys
+
+    monkeypatch.setenv("ODTPU_SOLVER_UNROLL", "0")
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "experiments"))
     import run_experiment_online_rpn_ood_oos as exp
