@@ -261,3 +261,147 @@ def roi_align_nchw(
     """Convenience wrapper matching the reference's NCHW layout -> [R,C,P,P]."""
     out = roi_align(jnp.transpose(features, (1, 2, 0)), rois, **kw)
     return jnp.transpose(out, (0, 3, 1, 2))
+
+
+def _fused2_kernel(a_ref, bd_ref, f_ref, out_ref, *, rt, ph, pw, h, w):
+    """One (batch, chan-tile, roi-tile) program of :func:`roi_align_fused2`.
+
+    Stage 1 — shared-F contraction, ONE big matmul: ``A2 [rt*ph, H] @
+    F2 [H, W*ct]``. Every RoI's H-contraction shares the feature tile, so
+    M = rt*ph (224 at rt=16) drives the MXU instead of per-RoI M=14.
+
+    Stage 2 — the per-RoI W-contraction as ONE block-diagonal matmul:
+    ``BD [rt*pw, rt*W] @ T1' [rt*W, ph*ct]`` where block r of BD is B[r].
+    This spends rt x the useful FLOPs (the zero cross-RoI blocks) to turn a
+    batch of M=14 matmuls — which Mosaic lowers at ~3% MXU utilization and
+    which made the round-2 fused kernel LOSE to the separable XLA path —
+    into one MXU-shaped product. At rt=16, W=50: 16x FLOPs at >50% util
+    beats 1x at 3%, and the [R, ph, W, C] intermediate that makes the
+    separable path HBM-bound never leaves VMEM.
+    """
+    a2 = a_ref[0, 0]  # [rt*ph, H] f32
+    bd = bd_ref[0, 0]  # [rt*pw, rt*W] f32 (block-diagonal)
+    f = f_ref[0]  # [H, W, ct]
+    ct = f.shape[-1]
+    dt = f.dtype
+    # stage 1: [rt*ph, H] @ [H, W*ct] -> [rt*ph, W*ct]
+    t1 = jax.lax.dot_general(
+        a2.astype(dt), f.reshape(h, w * ct),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # regroup rows by (r, w): [rt, ph, W, ct] -> [rt*W, ph*ct]
+    t1p = (
+        t1.reshape(rt, ph, w, ct)
+        .transpose(0, 2, 1, 3)
+        .reshape(rt * w, ph * ct)
+    )
+    # stage 2: [rt*pw, rt*W] @ [rt*W, ph*ct] -> [rt*pw, ph*ct]
+    out = jax.lax.dot_general(
+        bd.astype(dt), t1p.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # rows are (r, q); cols (p, c) -> [rt, ph, pw, ct]
+    out_ref[0] = (
+        out.reshape(rt, pw, ph, ct).transpose(0, 2, 1, 3)
+    ).astype(out_ref.dtype)
+
+
+def roi_align_fused2(
+    features: jax.Array,  # [B, H, W, C]
+    rois: jax.Array,  # [B, R, 4]
+    pooled_h: int = 14,
+    pooled_w: int = 14,
+    spatial_scale: float = 1.0 / 16.0,
+    max_samples: int = 8,
+    roi_tile: int = 16,
+    chan_tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Batched RoIAlign -> [B, R, P, P, C]: second-generation fused Pallas
+    kernel (see :func:`_fused2_kernel` for the two-matmul shape story).
+    Exact same averaged-bilinear semantics as :func:`roi_align` — the A/B
+    interpolation matrices are the shared code path; equivalence is
+    unit-tested in interpret mode (and measured bf16-exact on v5e).
+
+    MEASURED VERDICT (round 5, v5e, [8, 38, 50, 1024] bf16, 300 RoIs): the
+    block-diagonal stage 2 does NOT recover the round-2 kernel's loss —
+    27.6 ms (rt=16) / 27.1 (rt=8) vs 26.8 for the v1 kernel and **16.0 for
+    the separable XLA path** (rt=32 exceeds the 16 MB VMEM scoped limit).
+    Per-program accounting: the two MXU dots cost ~4.5 us at peak but each
+    program measures ~23 us — the inter-stage VMEM regroup
+    ([rt, ph, W, ct] -> [rt*W, ph*ct], ph=14 misaligned to the (8, 128)
+    tiling) lowers to sublane shuffles that dominate. Third data point for
+    the same lesson as ops/gaussian_mmv.py: at these shapes XLA's fusion +
+    layout machinery beats hand kernels; the separable path stays the
+    production default, and this kernel stays as the documented exploration
+    of the roofline gap (BASELINE.md names RoIAlign's +0.13 ms/img over its
+    HBM floor — closing it needs a layout where the regroup is free, which
+    the separable algebra does not admit). Non-TPU backends without
+    ``interpret`` fall back to the separable path."""
+    bb, h, w, c = features.shape
+    r = rois.shape[1]
+    if not interpret and jax.default_backend() != "tpu":
+        return jax.vmap(
+            lambda f, bx: roi_align(f, bx, pooled_h, pooled_w, spatial_scale,
+                                    max_samples)
+        )(features, rois)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    a_mats, b_mats = jax.vmap(
+        lambda rr: _interp_matrices(rr, pooled_h, pooled_w, h, w,
+                                    spatial_scale, max_samples)
+    )(rois)  # [B, R, P, H], [B, R, P, W]
+
+    rt = roi_tile
+    r_pad = (-r) % rt
+    if r_pad:
+        a_mats = jnp.pad(a_mats, ((0, 0), (0, r_pad), (0, 0), (0, 0)))
+        b_mats = jnp.pad(b_mats, ((0, 0), (0, r_pad), (0, 0), (0, 0)))
+    rp = r + r_pad
+    n_rt = rp // rt
+
+    # host-side (XLA) prep: flatten A to [B, n_rt, rt*ph, H]; build the
+    # block-diagonal B [B, n_rt, rt*pw, rt*W] (tiny: f32 224x800 per tile)
+    a2 = a_mats.reshape(bb, n_rt, rt * pooled_h, h)
+    # [B, n_rt, rt, pw, rt', W]: block r==r' carries B[r], rest zero
+    bdiag = jnp.einsum(
+        "bnrqw,rs->bnrqsw",
+        b_mats.reshape(bb, n_rt, rt, pooled_w, w),
+        jnp.eye(rt, dtype=b_mats.dtype),
+    )
+    bdiag = bdiag.reshape(bb, n_rt, rt * pooled_w, rt * w)
+
+    ct = min(chan_tile, c)
+    assert c % ct == 0, "channel count must tile"
+    grid = (bb, c // ct, n_rt)
+
+    import functools as _ft
+
+    out = pl.pallas_call(
+        _ft.partial(_fused2_kernel, rt=rt, ph=pooled_h, pw=pooled_w, h=h, w=w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rt * pooled_h, h),
+                         lambda b_, c_, r_: (b_, r_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rt * pooled_w, rt * w),
+                         lambda b_, c_, r_: (b_, r_, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, ct), lambda b_, c_, r_: (b_, 0, 0, c_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, rt, pooled_h, pooled_w, ct),
+            lambda b_, c_, r_: (b_, r_, 0, 0, c_),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (bb, rp, pooled_h, pooled_w, c), features.dtype
+        ),
+        interpret=interpret,
+    )(a2, bdiag, features)
+    return out[:, :r]

@@ -9,7 +9,9 @@ reliably green in its own process. Rather than advertise an entry point
 that is not dependable, this runner executes
 
     pytest tests/ -q -m fast    (~3.5 min: solvers, ops, parity, eval)
-    pytest tests/ -q -m slow    (~25 min: CLI smoke, pipelines, mesh)
+    pytest tests/ -q -m slow    (~29 min on one core: CLI smoke, pipelines,
+                                 mesh; the multi-device sharding subset alone
+                                 is `-m "slow and mesh"`, ~6 min)
 
 as two child processes — bounding per-process state exactly like the
 driver/CI invocations do — and exits nonzero if either tier fails.

@@ -4,6 +4,7 @@ sampling_ratio=0, bilinear with the -1..size clamping rules), and vs
 torchvision's roi_align (aligned=False) when available."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -139,3 +140,22 @@ def test_fused_pallas_kernel_matches_separable_interpret():
     fused = roi_align_batched(feats, rois, interpret=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
                                atol=5e-5, rtol=1e-5)
+
+
+def test_fused2_kernel_matches_separable_interpret(rng):
+    """roi_align_fused2 (block-diagonal stage-2 Pallas kernel) computes the
+    exact separable-path pooling, including RoI-tile padding (R=5, tile 4).
+    Interpret mode; the TPU measurement verdict lives in the docstring."""
+    from online_detection_tpu.ops.roi_align import roi_align, roi_align_fused2
+
+    b, h, w, c = 2, 10, 12, 8
+    feats = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    x1 = rng.uniform(0, 100, (b, 5)); y1 = rng.uniform(0, 80, (b, 5))
+    rois = jnp.asarray(np.stack(
+        [x1, y1, x1 + rng.uniform(5, 90, (b, 5)),
+         y1 + rng.uniform(5, 70, (b, 5))], -1).astype(np.float32))
+    ref = jax.vmap(lambda f, r: roi_align(f, r, 4, 4, 1 / 16.0, 8))(feats, rois)
+    got = roi_align_fused2(feats, rois, 4, 4, 1 / 16.0, 8,
+                           roi_tile=4, chan_tile=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
