@@ -376,29 +376,7 @@ def run_stages():
         kernel_precision_name,
     )
 
-    x_mmv = dev_normal(101, (20000, 2048))
-    c_mmv = dev_normal(102, (1000, 2048))
-    a_mmv = dev_normal(103, (1000,))
-    flops = 2.0 * 20000 * 1000 * 2048
-    reps = 20  # per window; best-of-3 windows (see time_mmv)
 
-    def time_mmv(fn):
-        """Best-of-3 20-rep windows: the solver warm threads (started below,
-        their uploads overlap this stage) each run ONE throwaway execution
-        behind a lock — a blip lands in at most one window and the best
-        window rejects it (round-3 measured a 546 ms mmv when a single
-        window absorbed them; the old fix serialized warm-up AFTER the mmv,
-        which wasted the upload overlap this child now needs)."""
-        jax.device_get(fn())  # compile + warm
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(reps):
-                out = fn()
-            jax.device_get(out)
-            best = min(best, (time.perf_counter() - t0) / reps)
-        return best
 
     # ---- background warm-up of every solver executable ------------------
     # All five compile+upload threads start together (the tunnel link is the
@@ -425,32 +403,6 @@ def run_stages():
             t.start()
             warm_by_name[_name] = t
             warm_threads.append(t)
-
-    # precision provenance (round-4 verdict, weak #3): the record names the
-    # RESOLVED apply-role mode it measured, so the cross-round series
-    # separates policy changes (r03 single-pass default 1.83 ms -> r04 HIGH
-    # bf16x3 2.57 ms, the deliberate quality fix) from code regressions
-    warm_s = time_mmv(lambda: mmv(x_mmv, c_mmv, a_mmv, 15.0))
-    emit("gaussian_mmv_20k_x_1000_d2048", warm_s * 1e3, "ms",
-         vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1), reps=reps,
-         precision=kernel_precision_name("apply"), warm=True)
-
-    # policy comparator: the same product at the single-bf16-pass DEFAULT
-    # (the pre-round-4 numerics) — the delta between these two lines IS the
-    # measured cost of the quality fix on this op
-    @jax.jit
-    def _mmv_singlepass(x, c, v):
-        k = gaussian_kernel(x, c, 15.0, precision=jax.lax.Precision.DEFAULT)
-        return jnp.matmul(k, v, precision=jax.lax.Precision.DEFAULT)
-
-    sp_s = time_mmv(lambda: _mmv_singlepass(x_mmv, c_mmv, a_mmv))
-    emit("gaussian_mmv_20k_x_1000_d2048_singlepass", sp_s * 1e3, "ms",
-         vs_baseline=None, gflops=round(flops / sp_s / 1e9, 1), reps=reps,
-         precision="default", warm=True,
-         note="policy comparator: pre-round-4 single-bf16-pass numerics "
-              "(corrupts near-center kernel values; kept only to price the "
-              "HIGH default above)")
-    x_mmv = c_mmv = a_mmv = None
 
 
     def join_warm(name):
@@ -565,6 +517,56 @@ def run_stages():
              baseline_note=BASELINE_NOTE)
     elif solver_dt is None:
         raise SystemExit("bench: no solver stage completed before deadline")
+    x_mmv = dev_normal(101, (20000, 2048))
+    c_mmv = dev_normal(102, (1000, 2048))
+    a_mmv = dev_normal(103, (1000,))
+    flops = 2.0 * 20000 * 1000 * 2048
+    reps = 20  # per window; best-of-3 windows (see time_mmv)
+
+    def time_mmv(fn):
+        """Best-of-3 20-rep windows, robust to stray device work (round-3
+        measured a 546 ms mmv when a single window absorbed the warm
+        threads' throwaway runs; the full-bench rehearsal this round
+        measured 69 ms when the mmv OVERLAPPED the uploads — hence this
+        stage now runs after the solver stages, when the uploads are
+        done)."""
+        jax.device_get(fn())  # compile + warm
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(reps):
+                out = fn()
+            jax.device_get(out)
+            best = min(best, (time.perf_counter() - t0) / reps)
+        return best
+
+    # precision provenance (round-4 verdict, weak #3): the record names the
+    # RESOLVED apply-role mode it measured, so the cross-round series
+    # separates policy changes (r03 single-pass default 1.83 ms -> r04 HIGH
+    # bf16x3 2.57 ms, the deliberate quality fix) from code regressions
+    warm_s = time_mmv(lambda: mmv(x_mmv, c_mmv, a_mmv, 15.0))
+    emit("gaussian_mmv_20k_x_1000_d2048", warm_s * 1e3, "ms",
+         vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1), reps=reps,
+         precision=kernel_precision_name("apply"), warm=True)
+
+    # policy comparator: the same product at the single-bf16-pass DEFAULT
+    # (the pre-round-4 numerics) — the delta between these two lines IS the
+    # measured cost of the quality fix on this op
+    @jax.jit
+    def _mmv_singlepass(x, c, v):
+        k = gaussian_kernel(x, c, 15.0, precision=jax.lax.Precision.DEFAULT)
+        return jnp.matmul(k, v, precision=jax.lax.Precision.DEFAULT)
+
+    sp_s = time_mmv(lambda: _mmv_singlepass(x_mmv, c_mmv, a_mmv))
+    emit("gaussian_mmv_20k_x_1000_d2048_singlepass", sp_s * 1e3, "ms",
+         vs_baseline=None, gflops=round(flops / sp_s / 1e9, 1), reps=reps,
+         precision="default", warm=True,
+         note="policy comparator: pre-round-4 single-bf16-pass numerics "
+              "(corrupts near-center kernel values; kept only to price the "
+              "HIGH default above)")
+    x_mmv = c_mmv = a_mmv = None
+
     # ---- throughput stages: harvest + inference (the serving path) ------
     # Run AFTER the solver stages (round-5 reorder): BENCH_r04 lost all five
     # solver stages (the reference's per-stage timing contract,
