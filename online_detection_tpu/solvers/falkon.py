@@ -155,10 +155,14 @@ def falkon_fit(
     # the cheap [M, M] kernel — the N-scale K_NM below keeps the fast path.
     from online_detection_tpu.ops.gaussian_mmv import kernel_precision
 
-    hp = kernel_precision()  # HIGHEST default — round-4 quality root cause
+    # the fit's K_NM/Z/Gram chain is SOLVER-role math (training-side bulk
+    # FLOPs; round-5 fix — it previously resolved the apply role, so
+    # ODTPU_SOLVER_PRECISION never reached the fit's dominant matmuls and
+    # the precision probe understated the solver-role cost)
+    hp = kernel_precision("solver")  # HIGH default (bf16x3)
     k_mm = gaussian_kernel(
         centers, centers, sigma, precision=jax.lax.Precision.HIGHEST
-    )  # [M, M]
+    )  # [M, M] — PSD-critical, pinned HIGHEST regardless of role
     t_low = jnp.linalg.cholesky(k_mm + EPS_JITTER * m * jnp.eye(m, dtype=k_mm.dtype))
     # T upper with T^T T = K_MM  ->  T = t_low^T
     tt_t = jnp.matmul(t_low.T, t_low, precision=hp)  # = T T^T
@@ -184,7 +188,7 @@ def falkon_fit(
     # purpose — FALKON's CG converges in ~20 steps only because cond(P) is
     # O(1)). A direct f32 Cholesky solve of P is therefore stable, and is
     # the exact limit the reference's 20-iteration CG approximates.
-    k_nm = gaussian_kernel(x, centers, sigma)  # [N, M]
+    k_nm = gaussian_kernel(x, centers, sigma, precision=hp)  # [N, M]
     del maxiter, apply_bt  # the direct solve IS the CG fixpoint
     # With-replacement center sampling duplicates rows, so K_MM has an EXACT
     # null space that B = T^{-1} A^{-1} amplifies ~1/sqrt(jitter*lam); naive
