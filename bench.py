@@ -366,16 +366,10 @@ def run_stages():
          head_params("det")),
     ]
 
-    # ---- stage 1: fused Gaussian-kernel mmv (the inference primitive) ----
-    # Runs BEFORE the warm threads start: their throwaway device runs and
-    # compile load would otherwise interleave with these 50 reps (a run with
-    # warm threads live read the mmv at 546 ms = 150 GFLOP/s on a chip that
-    # does it in 1.3 ms — 99.8% contention artifact).
     from online_detection_tpu.ops.gaussian_mmv import (
         gaussian_kernel,
         kernel_precision_name,
     )
-
 
 
     # ---- background warm-up of every solver executable ------------------
@@ -413,20 +407,35 @@ def run_stages():
                 print(f"# bench: warm thread {name} still loading",
                       file=sys.stderr)
 
+    def warm_loading(name):
+        # True when the stage's executable is still uploading AND the budget
+        # cannot absorb paying the load inline in timed() — skipping keeps
+        # the child inside its slice (BENCH_r04's SIGKILL failure mode; the
+        # head stages had this guard, the RLS stages did not)
+        t_w = warm_by_name.get(name)
+        if t_w is not None and t_w.is_alive() and _remaining(deadline) < 120:
+            print(f"# bench: skipping {name} stage (executable still "
+                  f"loading, {_remaining(deadline):.0f}s left)",
+                  file=sys.stderr)
+            return True
+        return False
+
     # ---- stage 3: grouped RLS refiners (device Cholesky solve) ----
     solver_prec = kernel_precision_name("solver")
     if _remaining(deadline) > 30:
         join_warm("rls_det")
-        compile_s, warm_s = timed(rls_det_thunk)
-        emit("rls_fit_detector_21x1000", warm_s, "s",
-             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
-        stage_times["rls_fit_detector_21x1000"] = warm_s
+        if not warm_loading("rls_det"):
+            compile_s, warm_s = timed(rls_det_thunk)
+            emit("rls_fit_detector_21x1000", warm_s, "s",
+                 setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
+            stage_times["rls_fit_detector_21x1000"] = warm_s
     if _remaining(deadline) > 25:
         join_warm("rls_rpn")
-        compile_s, warm_s = timed(rls_rpn_thunk)
-        emit("rls_fit_rpn_15x1000", warm_s, "s",
-             setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
-        stage_times["rls_fit_rpn_15x1000"] = warm_s
+        if not warm_loading("rls_rpn"):
+            compile_s, warm_s = timed(rls_rpn_thunk)
+            emit("rls_fit_rpn_15x1000", warm_s, "s",
+                 setup_s=round(compile_s, 2), precision=solver_prec, warm=True)
+            stage_times["rls_fit_rpn_15x1000"] = warm_s
 
     # ---- stages 4-6: per-head FALKON minibootstrap (production program) --
     # pools are (re)generated on demand and FREED between stages: keeping
@@ -454,13 +463,7 @@ def run_stages():
             print(f"# bench: skipping {name} (deadline)", file=sys.stderr)
             continue
         join_warm(name)
-        t_w = warm_by_name.get(name)
-        if t_w is not None and t_w.is_alive() and _remaining(deadline) < 120:
-            # upload incomplete near the deadline: a synchronous timed()
-            # would pay the multi-minute executable load inline and blow
-            # the budget without landing the warm number
-            print(f"# bench: skipping {name} (executable still loading, "
-                  f"{_remaining(deadline):.0f}s left)", file=sys.stderr)
+        if warm_loading(name):
             continue
         thunk = head_thunk(seed, dims, params)
         compile_s, warm_s = timed(thunk)
@@ -517,6 +520,21 @@ def run_stages():
              baseline_note=BASELINE_NOTE)
     elif solver_dt is None:
         raise SystemExit("bench: no solver stage completed before deadline")
+    # ---- Gaussian-kernel mmv (the inference primitive) ------------------
+    # Runs after the solver stages so the warm uploads are normally done
+    # (overlapping them read 69 ms for a 2.4 ms op in the round-5
+    # rehearsal); if a skipped stage left a thread still uploading, wait it
+    # out within budget or skip — a contaminated mmv lands a false
+    # regression in the cross-round series
+    for t in warm_threads:
+        t.join(timeout=max(0.0, _remaining(deadline) - 90))
+    skip_mmv = None
+    if any(t.is_alive() for t in warm_threads) and _remaining(deadline) < 150:
+        skip_mmv = "warm uploads still in flight"
+    elif _remaining(deadline) < 40:
+        skip_mmv = "deadline"
+    if skip_mmv:
+        print(f"# bench: skipping mmv stages ({skip_mmv})", file=sys.stderr)
     x_mmv = dev_normal(101, (20000, 2048))
     c_mmv = dev_normal(102, (1000, 2048))
     a_mmv = dev_normal(103, (1000,))
@@ -545,10 +563,11 @@ def run_stages():
     # RESOLVED apply-role mode it measured, so the cross-round series
     # separates policy changes (r03 single-pass default 1.83 ms -> r04 HIGH
     # bf16x3 2.57 ms, the deliberate quality fix) from code regressions
-    warm_s = time_mmv(lambda: mmv(x_mmv, c_mmv, a_mmv, 15.0))
-    emit("gaussian_mmv_20k_x_1000_d2048", warm_s * 1e3, "ms",
-         vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1), reps=reps,
-         precision=kernel_precision_name("apply"), warm=True)
+    if not skip_mmv:
+        warm_s = time_mmv(lambda: mmv(x_mmv, c_mmv, a_mmv, 15.0))
+        emit("gaussian_mmv_20k_x_1000_d2048", warm_s * 1e3, "ms",
+             vs_baseline=None, gflops=round(flops / warm_s / 1e9, 1),
+             reps=reps, precision=kernel_precision_name("apply"), warm=True)
 
     # policy comparator: the same product at the single-bf16-pass DEFAULT
     # (the pre-round-4 numerics) — the delta between these two lines IS the
@@ -558,13 +577,14 @@ def run_stages():
         k = gaussian_kernel(x, c, 15.0, precision=jax.lax.Precision.DEFAULT)
         return jnp.matmul(k, v, precision=jax.lax.Precision.DEFAULT)
 
-    sp_s = time_mmv(lambda: _mmv_singlepass(x_mmv, c_mmv, a_mmv))
-    emit("gaussian_mmv_20k_x_1000_d2048_singlepass", sp_s * 1e3, "ms",
-         vs_baseline=None, gflops=round(flops / sp_s / 1e9, 1), reps=reps,
-         precision="default", warm=True,
-         note="policy comparator: pre-round-4 single-bf16-pass numerics "
-              "(corrupts near-center kernel values; kept only to price the "
-              "HIGH default above)")
+    if not skip_mmv:
+        sp_s = time_mmv(lambda: _mmv_singlepass(x_mmv, c_mmv, a_mmv))
+        emit("gaussian_mmv_20k_x_1000_d2048_singlepass", sp_s * 1e3, "ms",
+             vs_baseline=None, gflops=round(flops / sp_s / 1e9, 1), reps=reps,
+             precision="default", warm=True,
+             note="policy comparator: pre-round-4 single-bf16-pass numerics "
+                  "(corrupts near-center kernel values; kept only to price "
+                  "the HIGH default above)")
     x_mmv = c_mmv = a_mmv = None
 
     # ---- throughput stages: harvest + inference (the serving path) ------

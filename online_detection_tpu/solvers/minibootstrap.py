@@ -339,6 +339,11 @@ def _aot_signature(args, params):
         tuple((tuple(l.shape), str(l.dtype)) for l in leaves),
         treedef,
         params,
+        # realization is part of the program identity: without it, a process
+        # that warms under one ODTPU_SOLVER_UNROLL value and later flips it
+        # would get AOT "hits" that silently execute (and time) the other
+        # loop realization (round-5 review finding)
+        _use_unrolled(),
     )
 
 

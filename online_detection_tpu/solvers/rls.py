@@ -230,6 +230,30 @@ def _make_grouped_device_program_sharded(mesh, axis_name: str):
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _make_grouped_blocks_program_sharded(mesh, axis_name: str):
+    """Class-sharded Gram+solve over COMPACTED per-class blocks
+    [Cp, cap, ...]: per-device work is (Cp/n_dev)*cap row-Grams — the
+    compaction win of the unsharded device path (each row multiplies into
+    exactly one class's Gram) combined with the mesh split. Without this,
+    the sharded masked pass costs (Cp/n_dev)*N per device, which at
+    flagship scale (N >> cap) is MORE per-chip Gram work than the old
+    replicated-blocks execution (round-5 review finding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cls_s = NamedSharding(mesh, P(axis_name))
+    repl = NamedSharding(mesh, P())
+
+    def fn(xb, yb, vb, lam):
+        return _device_solve_from_stats(*_gram_stats(xb, yb, vb), lam)
+
+    return jax.jit(
+        fn,
+        in_shardings=(cls_s, cls_s, cls_s, repl),
+        out_shardings=repl,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes",))
 def _class_counts(cls1: jax.Array, w: jax.Array, num_classes: int):
     return (
@@ -298,19 +322,38 @@ def rls_fit_grouped(
 
         n_dev = mesh.devices.size
         cp = -(-num_classes // n_dev) * n_dev
-        onehot = jax.nn.one_hot(
-            cls1.astype(jnp.int32) - 1, cp, dtype=jnp.float32
-        )
-        wc_t = (onehot * w[:, None]).T  # [Cp, N]; padded classes all-zero
-        program = _make_grouped_device_program_sharded(mesh, axis_name)
+        cls_s = NamedSharding(mesh, P(axis_name))
         repl = NamedSharding(mesh, P())
-        args = [
-            jax.device_put(wc_t, NamedSharding(mesh, P(axis_name))),
-            jax.device_put(x, repl),
-            jax.device_put(y, repl),
-            jax.device_put(jnp.asarray(lam, jnp.float32), repl),
-        ]
-        beta, t_dev, t_inv_dev, mu_dev, exists, mean_losses = program(*args)
+        lam_dev = jax.device_put(jnp.asarray(lam, jnp.float32), repl)
+        # block compaction first (same moments, row permutation only): each
+        # row Grams into exactly ONE class's block, so per-device work is
+        # (Cp/n_dev)*cap instead of the masked pass's (Cp/n_dev)*N
+        counts = jax.device_get(_class_counts(cls1, w, num_classes))
+        cap = int(counts.max()) if counts.size else 0
+        out = None
+        if cap > 0:
+            capb = min(x.shape[0], max(256, 1 << (cap - 1).bit_length()))
+            blk_bytes = cp * capb * (x.shape[1] + 4) * 4
+            if blk_bytes <= _BLOCK_BYTES_LIMIT and capb < x.shape[0]:
+                xb, yb, vb = _compact_class_blocks(x, y, cls1, w, cp, capb)
+                program = _make_grouped_blocks_program_sharded(mesh, axis_name)
+                out = program(
+                    jax.device_put(xb, cls_s), jax.device_put(yb, cls_s),
+                    jax.device_put(vb, cls_s), lam_dev,
+                )
+        if out is None:  # blocks don't pay (or nothing valid): masked pass
+            onehot = jax.nn.one_hot(
+                cls1.astype(jnp.int32) - 1, cp, dtype=jnp.float32
+            )
+            wc_t = (onehot * w[:, None]).T  # [Cp, N]; padded classes zero
+            program = _make_grouped_device_program_sharded(mesh, axis_name)
+            out = program(
+                jax.device_put(wc_t, cls_s),
+                jax.device_put(x, repl),
+                jax.device_put(y, repl),
+                lam_dev,
+            )
+        beta, t_dev, t_inv_dev, mu_dev, exists, mean_losses = out
         return RLSModel(
             beta=beta[:num_classes],
             t_inv=t_inv_dev[:num_classes],

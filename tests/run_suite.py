@@ -27,14 +27,31 @@ import sys
 def main() -> int:
     # AND a user-supplied -m expression into the tier marker instead of
     # letting pytest's last-wins -m silently override it (which would make
-    # both child processes run the same selection, defeating the split)
-    args = list(sys.argv[1:])
+    # both child processes run the same selection, defeating the split).
+    # Handles the separated (-m EXPR), attached (-mEXPR), and = (-m=EXPR)
+    # forms; a bare trailing -m is an error, same as pytest's own.
+    args = []
     user_m = None
-    for flag in ("-m", "--markers-expr"):
-        while flag in args:
-            i = args.index(flag)
-            user_m = args[i + 1]
-            del args[i : i + 2]
+    argv = list(sys.argv[1:])
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-m" or a == "--markers-expr":
+            if i + 1 >= len(argv):
+                raise SystemExit(f"run_suite: {a} requires an expression")
+            user_m = argv[i + 1]
+            i += 2
+            continue
+        if a.startswith("-m=") or a.startswith("--markers-expr="):
+            user_m = a.split("=", 1)[1]
+            i += 1
+            continue
+        if a.startswith("-m") and len(a) > 2:
+            user_m = a[2:]
+            i += 1
+            continue
+        args.append(a)
+        i += 1
     repo_rc = 0
     for tier in ("fast", "slow"):
         expr = f"({tier}) and ({user_m})" if user_m else tier

@@ -335,19 +335,23 @@ def test_sharded_rls_matches_unsharded(rng):
     shared-buffer pass on both sides), class axis padded to the mesh."""
     from online_detection_tpu.solvers.rls import rls_fit_grouped
 
-    n, d, c = 96, 16, 5  # pads to 8 on the mesh
-    x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
-    y = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
-    cls1 = jnp.asarray(rng.integers(1, c + 1, n).astype(np.float32))
-    w = jnp.asarray((rng.uniform(size=n) > 0.2).astype(np.float32))
-    ref = rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True)
-    got = rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True,
-                          mesh=make_mesh(8))
-    assert got.beta.shape == ref.beta.shape == (c, d + 1, 4)
-    np.testing.assert_array_equal(np.asarray(got.exists), np.asarray(ref.exists))
-    np.testing.assert_allclose(np.asarray(got.mu), np.asarray(ref.mu),
-                               rtol=1e-5, atol=1e-5)
-    np.testing.assert_allclose(np.asarray(got.beta), np.asarray(ref.beta),
-                               rtol=2e-3, atol=2e-3)
-    np.testing.assert_allclose(np.asarray(got.t_inv), np.asarray(ref.t_inv),
-                               rtol=1e-4, atol=1e-4)
+    # n=96: capb == n -> masked sharded program; n=600: capb=256 < n ->
+    # class-sharded COMPACTED-BLOCKS program (the flagship-scale path)
+    for n in (96, 600):
+        d, c = 16, 5  # pads to 8 on the mesh
+        x = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+        y = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+        cls1 = jnp.asarray(rng.integers(1, c + 1, n).astype(np.float32))
+        w = jnp.asarray((rng.uniform(size=n) > 0.2).astype(np.float32))
+        ref = rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True)
+        got = rls_fit_grouped(x, y, cls1, w, c, 10.0, device_solve=True,
+                              mesh=make_mesh(8))
+        assert got.beta.shape == ref.beta.shape == (c, d + 1, 4)
+        np.testing.assert_array_equal(np.asarray(got.exists),
+                                      np.asarray(ref.exists))
+        np.testing.assert_allclose(np.asarray(got.mu), np.asarray(ref.mu),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got.beta), np.asarray(ref.beta),
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(got.t_inv), np.asarray(ref.t_inv),
+                                   rtol=1e-4, atol=1e-4)

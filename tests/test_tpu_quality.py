@@ -37,7 +37,11 @@ def test_smoke_map_tpu_matches_cpu():
          "--run", "tpu-device-default"],
         capture_output=True, text=True, timeout=1800,
         env={k: v for k, v in os.environ.items()
-             if k not in ("JAX_PLATFORMS", "XLA_FLAGS")},
+             # strip the CPU-tier pins AND conftest's scan-realization
+             # default: the hardware gate must run the production
+             # (unrolled) solver programs (round-5 review finding)
+             if k not in ("JAX_PLATFORMS", "XLA_FLAGS",
+                          "ODTPU_SOLVER_UNROLL")},
     )
     rec = None
     for line in proc.stdout.splitlines():
