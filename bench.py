@@ -832,9 +832,34 @@ def run_composed_main():
     )
 
     fcfg = OnlineTrainConfig(shuffle_negatives=True, rpn_shuffle_negatives=True)
-    composed = run_with_executable_recovery(
-        run_composed_flagship, jax, jnp, fcfg, deadline
-    )
+    try:
+        composed = run_with_executable_recovery(
+            run_composed_flagship, jax, jnp, fcfg, deadline
+        )
+    except Exception as e:  # noqa: BLE001 — filtered just below
+        from online_detection_tpu.utils.compile_cache import (
+            is_executable_lifecycle_error,
+        )
+
+        # In-process recovery evicts executables and retries, but a wedged
+        # backend session (observed: after a mid-train FAILED_PRECONDITION
+        # even `jax.random.key(0)` dispatches fail) is only curable by a
+        # fresh process. Re-exec ONCE with the warm cache; the orchestrator's
+        # hard timeout still bounds us, and past-deadline replays exit with
+        # the normal "skipped on deadline" path.
+        if (
+            is_executable_lifecycle_error(e)
+            and "ODTPU_BENCH_REEXEC" not in os.environ
+            and _remaining(deadline) > 90
+        ):
+            print(
+                "# bench: composed backend wedged (FAILED_PRECONDITION); "
+                f"re-exec with warm cache ({_remaining(deadline):.0f}s left)",
+                file=sys.stderr, flush=True,
+            )
+            os.environ["ODTPU_BENCH_REEXEC"] = "1"
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
     if composed is None:
         raise SystemExit("bench: composed run skipped on deadline")
     from online_detection_tpu.ops.gaussian_mmv import kernel_precision_name
@@ -1013,10 +1038,12 @@ def main():
 
     # third child: the on-TPU smoke-quality mAP (round-3 verdict item 2 —
     # the driver records detection quality on the target hardware every
-    # round). Runs AFTER the headline is secured and is hard-killed at the
-    # deadline; the headline record is re-emitted afterwards so the LAST
-    # line (the driver's parsed record) is always the flagship headline.
-    if headline is not None and _remaining(deadline) > 90:
+    # round). Hard-killed at the deadline; the headline record (or the
+    # estimate) is emitted afterwards so the LAST line (the driver's parsed
+    # record) is always the flagship headline. NOT gated on the composed
+    # child's success: a cold-cache run that starved the composed child must
+    # still record the quality gate (round-5 cold rehearsal skipped it).
+    if _remaining(deadline) > 90:
         env3 = dict(os.environ, ODTPU_BENCH_DEADLINE=str(deadline))
         _, rc3 = _stream_child(
             [sys.executable, os.path.abspath(__file__), "--smoke"], env3,
@@ -1024,7 +1051,7 @@ def main():
         )
         if rc3 != 0:
             print(f"# bench: smoke child exited rc={rc3}", file=sys.stderr)
-    elif headline is not None:
+    else:
         print("# bench: smoke child skipped (deadline)", file=sys.stderr)
 
     if headline is not None:
